@@ -1,0 +1,77 @@
+"""Per-edge consensus: turn each edge's supporting long-read subsequences
+into one consensus sequence.
+
+Replaces reference ``asm_calc_single_cns_seq`` + MT queue
+(``Assemble.cpp:479-605``).  Engine selection:
+
+- ``"poa"``  — exact partial-order alignment per edge on host
+  (:mod:`haslr_tpu.assemble.poa`), the SPOA-semantics reference engine.
+- ``"tpu"``  — batched consensus on device: windows are length-bucketed and
+  padded, all supporting reads of all windows aligned to their drafts by one
+  Pallas banded-NW kernel, consensus by weighted pileup vote
+  (:mod:`haslr_tpu.kernels.consensus`).
+"""
+
+from __future__ import annotations
+
+from haslr_tpu.assemble import backbone as bb
+from haslr_tpu.config import AssembleConfig
+from haslr_tpu.core import seq as cseq
+
+
+def _edge_window_seqs(edge: bb.BBGEdge, lrs) -> list[str]:
+    """Extract the supporting subsequences of one edge, replicating the
+    reference's substring semantics (Assemble.cpp:503-543): positions are
+    inclusive on the chosen strand; ``spos == epos + 1`` yields an empty
+    string, and ``spos > epos + 1`` — an unsigned-underflow artifact in the
+    C++ — yields the whole suffix from ``spos``."""
+    out = []
+    for s in edge.cns_supp:
+        rseq = lrs.get_str(s.lr_id)
+        if s.lr_strand:
+            rseq = cseq.revcomp(rseq)
+        if s.epos + 1 < s.spos:
+            out.append(rseq[s.spos:])
+        else:
+            out.append(rseq[s.spos : s.epos + 1])
+    return out
+
+
+def calc_consensus(
+    graph, lrs, cfg: AssembleConfig | None = None, log=None
+) -> int:
+    """Consensus for every unique edge; flags edges 12 like the reference
+    work queue.  Returns the number of edges processed."""
+    cfg = cfg or AssembleConfig()
+    edges = []
+    for n1, r1, n2, r2, edge, twin in bb.unique_edges(graph):
+        if edge.flag == 12:
+            continue
+        edge.flag = 12
+        twin.flag = 12
+        edges.append((edge, twin))
+
+    if cfg.consensus_engine == "tpu":
+        from haslr_tpu.kernels.consensus import batched_consensus
+
+        windows = [_edge_window_seqs(edge, lrs) for edge, _ in edges]
+        results = batched_consensus(
+            windows,
+            match=cfg.poa_match,
+            mismatch=cfg.poa_mismatch,
+            gap=cfg.poa_gap,
+        )
+        for (edge, twin), cns in zip(edges, results):
+            edge.cns_seq = cns
+            twin.cns_seq = cseq.revcomp(cns)
+    else:
+        from haslr_tpu.assemble.poa import poa_consensus
+
+        for edge, twin in edges:
+            seqs = _edge_window_seqs(edge, lrs)
+            cns = poa_consensus(
+                seqs, cfg.poa_match, cfg.poa_mismatch, cfg.poa_gap
+            )
+            edge.cns_seq = cns
+            twin.cns_seq = cseq.revcomp(cns)
+    return len(edges)

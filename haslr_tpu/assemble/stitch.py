@@ -1,0 +1,215 @@
+"""Final assembly: extract simple paths from the cleaned graph and stitch
+contig segments with edge consensus sequences.
+
+Replaces reference ``asm_extract_all_simple_paths`` /
+``asm_assemble_single_path`` / ``asm_get_assembly``
+(``Assemble.cpp:607-810,1045-1112``), producing ``asm.final.fa`` plus the
+``asm.final.ann`` provenance annotation (every output base attributed to a
+contig segment or a consensus segment).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from haslr_tpu.assemble import backbone as bb
+from haslr_tpu.core import seq as cseq
+
+FLAG_PATH = 21
+
+
+def find_simple_path_unbounded(graph, src_node, src_strand, first_key):
+    """Unbounded simple-path walk (``asm_find_simple_path_from_source``,
+    Assemble.cpp:607-622)."""
+    path = deque([(src_node, src_strand)])
+    curr_node, curr_strand = first_key >> 1, first_key & 1
+    while True:
+        path.append((curr_node, curr_strand))
+        out = graph[curr_node].edges[curr_strand]
+        inn = graph[curr_node].edges[1 - curr_strand]
+        if len(out) == 0:
+            break
+        if len(out) > 1 or len(inn) > 1:
+            break
+        key = out.first_key()
+        curr_node, curr_strand = key >> 1, key & 1
+    return path
+
+
+def extract_all_simple_paths(graph):
+    """``asm_extract_all_simple_paths`` (Assemble.cpp:757-810): every edge
+    belongs to exactly one path (flag 21 marks visits); isolated
+    branch-both-sides nodes are emitted as singletons; branching endpoints
+    are trimmed off the path."""
+    path_list = []
+    for i, node in enumerate(graph):
+        n_out, n_in = len(node.edges[0]), len(node.edges[1])
+        if n_out == 1 and n_in == 1:
+            continue  # interior of some path
+        if n_out > 1 and n_in > 1:
+            path_list.append(deque([(i, 0)]))
+        for rev in (0, 1):
+            for key, edge in node.edges[rev].items():
+                if edge.flag == FLAG_PATH:
+                    continue
+                path = find_simple_path_unbounded(graph, i, rev, key)
+                for j in range(len(path) - 1):
+                    n1, r1 = path[j]
+                    n2, r2 = path[j + 1]
+                    graph[n1].edges[r1][bb.edge_key(n2, r2)].flag = FLAG_PATH
+                    graph[n2].edges[1 - r2][bb.edge_key(n1, 1 - r1)].flag = (
+                        FLAG_PATH
+                    )
+                n1, r1 = path[0]
+                if len(graph[n1].edges[r1]) > 1:
+                    path.popleft()
+                if path:
+                    n2, r2 = path[-1]
+                    if len(graph[n2].edges[1 - r2]) > 1:
+                        path.pop()
+                if path:
+                    path_list.append(path)
+    return path_list
+
+
+def assemble_single_path(
+    path, graph, contigs, nb_ctg, fp_asm, fp_ann=None, fp_log=None, warn=None
+) -> int:
+    """Stitch one path into output contig(s)
+    (``asm_assemble_single_path``, Assemble.cpp:624-755).  Edges whose
+    consensus had no support break the output contig.  Returns the updated
+    contig counter."""
+
+    def contig_str(node_id):
+        return contigs.get_str(graph[node_id].contig_id)
+
+    def emit(name_parts, seq):
+        header = ">{} from:{}:{} to:{}:{}".format(*name_parts)
+        fp_asm.write(f"{header}\n{seq}\n")
+        if fp_log:
+            fp_log.write(f"{header}\n{seq}\n\n")
+
+    if len(path) == 1:
+        c, s = path[0]
+        emit((nb_ctg, c, "+-"[s], c, "+-"[s]), contig_str(c))
+        return nb_ctg + 1
+
+    assembled = []
+    asm_len = 0
+    source_contig, source_strand = path[0]
+    contig1_start = (
+        0 if source_strand == 0 else contigs.length(graph[source_contig].contig_id) - 1
+    )
+    for i in range(len(path) - 1):
+        contig1, strand1 = path[i]
+        contig2, strand2 = path[i + 1]
+        c1 = contig_str(contig1)
+        edge1 = graph[contig1].edges[strand1][bb.edge_key(contig2, strand2)]
+        if len(edge1.cns_supp) == 0:
+            # break the assembly (Assemble.cpp:682-706)
+            if strand1 == 0:
+                prefix = c1[contig1_start:]
+                if fp_ann:
+                    fp_ann.write(
+                        f"{nb_ctg}\t{asm_len}\t{asm_len + len(prefix)}\tctg\t+"
+                        f"\t{contig1}\t{len(c1)}\t{contig1_start}\t{len(c1)}\n"
+                    )
+            else:
+                prefix = c1[: contig1_start + 1]
+                if fp_ann:
+                    fp_ann.write(
+                        f"{nb_ctg}\t{asm_len}\t{asm_len + len(prefix)}\tctg\t-"
+                        f"\t{contig1}\t{len(c1)}\t0\t{contig1_start + 1}\n"
+                    )
+                prefix = cseq.revcomp(prefix)
+            assembled.append(prefix)
+            emit(
+                (nb_ctg, source_contig, "+-"[source_strand], contig1, "+-"[strand1]),
+                "".join(assembled),
+            )
+            nb_ctg += 1
+            assembled = []
+            asm_len = 0
+            source_contig, source_strand = contig2, strand2
+            contig1_start = (
+                0
+                if source_strand == 0
+                else contigs.length(graph[source_contig].contig_id) - 1
+            )
+            if warn:
+                warn(
+                    f"breaking assembly between anchors {contig1}:{'+-'[strand1]}"
+                    f" --> {contig2}:{'+-'[strand2]}"
+                )
+        else:
+            if strand1 == 0:
+                prefix = c1[contig1_start : edge1.head_end + 1]
+                if fp_ann:
+                    fp_ann.write(
+                        f"{nb_ctg}\t{asm_len}\t{asm_len + len(prefix)}\tctg\t+"
+                        f"\t{contig1}\t{len(c1)}\t{contig1_start}"
+                        f"\t{contig1_start + len(prefix)}\n"
+                    )
+            else:
+                prefix = c1[edge1.head_end : contig1_start + 1]
+                if fp_ann:
+                    fp_ann.write(
+                        f"{nb_ctg}\t{asm_len}\t{asm_len + len(prefix)}\tctg\t-"
+                        f"\t{contig1}\t{len(c1)}\t{edge1.head_end}"
+                        f"\t{edge1.head_end + len(prefix)}\n"
+                    )
+                prefix = cseq.revcomp(prefix)
+            assembled.append(prefix)
+            asm_len += len(prefix)
+            if fp_ann:
+                fp_ann.write(
+                    f"{nb_ctg}\t{asm_len}\t{asm_len + len(edge1.cns_seq)}\tcns"
+                    f"\t{len(edge1.cns_seq)}\t{len(edge1.cns_supp)}\n"
+                )
+            assembled.append(edge1.cns_seq)
+            asm_len += len(edge1.cns_seq)
+            contig1_start = edge1.tail_beg
+    # last contig suffix (Assemble.cpp:734-750)
+    contig2, strand2 = path[-1]
+    c2 = contig_str(contig2)
+    if strand2 == 0:
+        suffix = c2[contig1_start:]
+        if fp_ann:
+            fp_ann.write(
+                f"{nb_ctg}\t{asm_len}\t{asm_len + len(suffix)}\tctg\t+"
+                f"\t{contig2}\t{len(c2)}\t{contig1_start}\t{len(c2)}\n"
+            )
+    else:
+        suffix = c2[: contig1_start + 1]
+        if fp_ann:
+            fp_ann.write(
+                f"{nb_ctg}\t{asm_len}\t{asm_len + len(suffix)}\tctg\t-"
+                f"\t{contig2}\t{len(c2)}\t0\t{contig1_start + 1}\n"
+            )
+        suffix = cseq.revcomp(suffix)
+    assembled.append(suffix)
+    emit(
+        (nb_ctg, source_contig, "+-"[source_strand], contig2, "+-"[strand2]),
+        "".join(assembled),
+    )
+    return nb_ctg + 1
+
+
+def get_assembly(graph, contigs, out_dir: str, warn=None) -> int:
+    """``asm_get_assembly`` (Assemble.cpp:1045-1077): write asm.final.fa,
+    asm.final.ann and log_asmfinal.txt.  Returns the output contig count."""
+    path_list = extract_all_simple_paths(graph)
+    nb_ctg = 0
+    with open(f"{out_dir}/asm.final.fa", "w") as fp_asm, open(
+        f"{out_dir}/asm.final.ann", "w"
+    ) as fp_ann, open(f"{out_dir}/log_asmfinal.txt", "w") as fp_log:
+        for i, path in enumerate(path_list):
+            fp_log.write(
+                f"simple_path {i} size:{len(path)}\tfrom:{path[0][0]}:"
+                f"{'+-'[path[0][1]]}\tto:{path[-1][0]}:{'+-'[path[-1][1]]}\n"
+            )
+        for path in path_list:
+            nb_ctg = assemble_single_path(
+                path, graph, contigs, nb_ctg, fp_asm, fp_ann, fp_log, warn
+            )
+    return nb_ctg

@@ -1,0 +1,283 @@
+"""Synthetic hybrid-assembly dataset generator.
+
+The reference repo has no test suite (SURVEY.md §4); its de-facto
+integration test is the E. coli quick start, which needs external data we
+cannot download.  This module generates a ground-truth dataset exercising
+the same pipeline: a random genome, short-read contigs (genome segments
+with minia-style KC/km header tags, optionally reverse-complemented and
+shuffled), noisy long reads with known error traces, and an exact PAF of
+read→contig alignments derived from those traces (so the assembler front
+door sees realistic minimap2-like input without needing an aligner).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from haslr_tpu.core import cigar as ccigar
+from haslr_tpu.core import seq as cseq
+
+BASES = "ACGT"
+
+
+def random_genome(rng, length: int) -> str:
+    return "".join(np.array(list(BASES))[rng.integers(0, 4, length)])
+
+
+@dataclass
+class SimContig:
+    cid: int
+    start: int       # genome start
+    end: int         # genome end (exclusive)
+    is_rev: int      # stored reverse-complemented?
+    seq: str
+    km: float
+    kc: int
+
+
+@dataclass
+class SimRead:
+    rid: int
+    start: int       # genome start of the span
+    end: int         # genome end (exclusive)
+    strand: int      # 1 = read is revcomp of the genome-forward sequence
+    seq: str         # the read as sequenced (strand applied)
+    # per genome position in [start, end): 'M'/'D' plus insertions after
+    ops: list = field(default_factory=list)  # list of (op, n_ins)
+    is_sub: list = field(default_factory=list)
+
+
+def mutate_with_trace(rng, template: str, error_rate: float):
+    """Apply sub/ins/del errors; return (seq, ops, is_sub).
+
+    ``ops[i]`` = ('M'|'D', n_insertions_after) for template position i;
+    ``is_sub[i]`` marks substituted positions (alignment column still M).
+    """
+    out = []
+    ops = []
+    is_sub = []
+    third = error_rate / 3
+    for ch in template:
+        r = rng.random()
+        n_ins = 0
+        if r < third:
+            ops.append(("D", 0))
+            is_sub.append(False)
+            continue
+        if r < 2 * third:
+            alt = BASES[rng.integers(0, 4)]
+            while alt == ch:
+                alt = BASES[rng.integers(0, 4)]
+            out.append(alt)
+            is_sub.append(True)
+        else:
+            out.append(ch)
+            is_sub.append(False)
+        if r >= 2 * third and r < error_rate:
+            n_ins = 1
+            out.append(BASES[rng.integers(0, 4)])
+        ops.append(("M", n_ins))
+    return "".join(out), ops, is_sub
+
+
+def make_contigs(
+    rng,
+    genome: str,
+    mean_len: int = 2000,
+    gap_len: int = 200,
+    coverage_km: float = 30.0,
+    kmer: int = 49,
+    rev_fraction: float = 0.3,
+    shuffle: bool = True,
+) -> list[SimContig]:
+    """Cut the genome into contigs separated by gaps (the gaps are what the
+    long-read consensus must reconstruct)."""
+    contigs = []
+    pos = 0
+    n = len(genome)
+    while pos + 300 < n:
+        clen = int(rng.integers(mean_len // 2, mean_len * 3 // 2))
+        end = min(pos + clen, n)
+        s = genome[pos:end]
+        is_rev = int(rng.random() < rev_fraction)
+        if is_rev:
+            s = cseq.revcomp(s)
+        km = float(coverage_km * rng.uniform(0.85, 1.15))
+        kc = int(km * max(1, len(s) - kmer + 1))
+        contigs.append(SimContig(0, pos, end, is_rev, s, km, kc))
+        pos = end + int(rng.integers(gap_len // 2, gap_len * 3 // 2))
+    if shuffle:
+        rng.shuffle(contigs)
+    for i, c in enumerate(contigs):
+        c.cid = i
+    return contigs
+
+
+def make_reads(
+    rng,
+    genome: str,
+    coverage: float = 20.0,
+    mean_len: int = 8000,
+    error_rate: float = 0.06,
+) -> list[SimRead]:
+    n = len(genome)
+    total = 0
+    reads = []
+    while total < coverage * n:
+        rlen = int(rng.integers(mean_len // 2, mean_len * 3 // 2))
+        rlen = min(rlen, n)
+        start = int(rng.integers(0, n - rlen + 1))
+        template = genome[start : start + rlen]
+        seq, ops, is_sub = mutate_with_trace(rng, template, error_rate)
+        strand = int(rng.random() < 0.5)
+        if strand:
+            seq = cseq.revcomp(seq)
+        reads.append(
+            SimRead(len(reads), start, start + rlen, strand, seq, ops, is_sub)
+        )
+        total += len(seq)
+    return reads
+
+
+def true_paf_records(read: SimRead, contigs: list[SimContig], min_overlap=300):
+    """Exact PAF lines for one read against every overlapping contig,
+    derived from the error trace (minimap2 conventions: CIGAR in target
+    order; '-' strand coordinates in the read's own frame)."""
+    # prefix sums of query consumption per genome position of the read span
+    span = read.end - read.start
+    qoff = np.zeros(span + 1, dtype=np.int64)
+    acc = 0
+    for i, (op, n_ins) in enumerate(read.ops):
+        acc += (1 if op == "M" else 0) + n_ins
+        qoff[i + 1] = acc
+    read_len = len(read.seq)
+    out = []
+    for c in contigs:
+        a = max(read.start, c.start)
+        b = min(read.end, c.end)
+        if b - a < min_overlap:
+            continue
+        i0, i1 = a - read.start, b - read.start
+        # trim edges so the alignment starts/ends on M
+        while i0 < i1 and read.ops[i0][0] != "M":
+            i0 += 1
+        while i1 > i0 and read.ops[i1 - 1][0] != "M":
+            i1 -= 1
+        if i1 - i0 < 2:
+            continue
+        # build cigar over genome positions [i0, i1) in genome-forward order
+        col_ops = []
+        n_match = 0
+        for i in range(i0, i1):
+            op, n_ins = read.ops[i]
+            if op == "M":
+                col_ops.append(ccigar.M)
+                if not read.is_sub[i]:
+                    n_match += 1
+            else:
+                col_ops.append(ccigar.D)
+            # trailing insertions belong between genome cols (skip at the end)
+            if n_ins and i < i1 - 1:
+                col_ops.extend([ccigar.I] * n_ins)
+        ops_arr = np.array(col_ops, dtype=np.uint8)
+        lens_arr = np.ones(len(col_ops), dtype=np.int64)
+        ops_arr, lens_arr = ccigar.normalize(ops_arr, lens_arr)
+        n_block = int(lens_arr.sum())
+        # forward-frame query coords
+        fq_start = int(qoff[i0])
+        fq_end = fq_start + ccigar.query_len(ops_arr, lens_arr)
+        # genome-forward target coords relative to the contig
+        g_start, g_end = read.start + i0, read.start + i1
+        if c.is_rev:
+            t_start = c.end - g_end
+            t_end = c.end - g_start
+        else:
+            t_start = g_start - c.start
+            t_end = g_end - c.start
+        # strand: '+' if read orientation matches contig orientation
+        rev = read.strand ^ c.is_rev
+        if read.strand == 0:
+            q_start, q_end = fq_start, fq_end
+        else:
+            q_start, q_end = read_len - fq_end, read_len - fq_start
+        if c.is_rev:
+            # target order is the contig's frame: reverse the cigar columns
+            ops_arr, lens_arr = ccigar.reverse(ops_arr, lens_arr)
+        out.append(
+            dict(
+                q_name=str(read.rid),
+                q_len=read_len,
+                q_start=q_start,
+                q_end=q_end,
+                strand="-" if rev else "+",
+                t_name=str(c.cid),
+                t_len=len(c.seq),
+                t_start=int(t_start),
+                t_end=int(t_end),
+                n_match=n_match,
+                n_block=n_block,
+                mapq=60,
+                cigar=ccigar.to_string(ops_arr, lens_arr),
+            )
+        )
+    out.sort(key=lambda r: r["q_start"])
+    return out
+
+
+def write_dataset(out_dir, genome, contigs, reads, min_overlap=300):
+    """Write contigs.fa (minia-style headers), lr.fasta, map.paf; returns
+    their paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    contig_path = f"{out_dir}/contigs.fa"
+    with open(contig_path, "w") as fp:
+        for c in contigs:
+            fp.write(
+                f">{c.cid} LN:i:{len(c.seq)} KC:i:{c.kc} km:f:{c.km:.3f}\n"
+                f"{c.seq}\n"
+            )
+    lr_path = f"{out_dir}/lr.fasta"
+    with open(lr_path, "w") as fp:
+        for r in reads:
+            fp.write(f">{r.rid}\n{r.seq}\n")
+    paf_path = f"{out_dir}/map.paf"
+    with open(paf_path, "w") as fp:
+        for r in reads:
+            for rec in true_paf_records(r, contigs, min_overlap):
+                fp.write(
+                    "{q_name}\t{q_len}\t{q_start}\t{q_end}\t{strand}\t"
+                    "{t_name}\t{t_len}\t{t_start}\t{t_end}\t{n_match}\t"
+                    "{n_block}\t{mapq}\ttp:A:P\tcg:Z:{cigar}\n".format(**rec)
+                )
+    return contig_path, lr_path, paf_path
+
+
+def simulate(
+    out_dir: str,
+    genome_len: int = 50_000,
+    seed: int = 0,
+    coverage: float = 20.0,
+    error_rate: float = 0.06,
+    contig_mean_len: int = 2000,
+    contig_gap: int = 200,
+    rev_fraction: float = 0.3,
+    read_mean_len: int = 8000,
+):
+    rng = np.random.default_rng(seed)
+    genome = random_genome(rng, genome_len)
+    contigs = make_contigs(
+        rng,
+        genome,
+        mean_len=contig_mean_len,
+        gap_len=contig_gap,
+        rev_fraction=rev_fraction,
+    )
+    reads = make_reads(
+        rng, genome, coverage=coverage, mean_len=read_mean_len,
+        error_rate=error_rate,
+    )
+    paths = write_dataset(out_dir, genome, contigs, reads)
+    return genome, contigs, reads, paths
