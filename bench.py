@@ -1,0 +1,87 @@
+"""Benchmark: consensus windows/s/chip (the BASELINE.json headline metric).
+
+Measures the batched TPU consensus engine (banded-NW align-to-draft +
+pileup vote, 2 polish rounds — the replacement for the reference's per-
+window SPOA loop, Assemble.cpp:479-605) on a fixed synthetic workload:
+256 windows x 13 supporting subsequences x ~300 bp at 6% error.
+
+``vs_baseline`` is the speedup over the host POA engine (the SPOA-
+semantics exact implementation in haslr_tpu.assemble.poa) on the same
+windows, rate-extrapolated from a subset.  The reference publishes no
+per-window number (BASELINE.json ``published`` is empty), so the host POA
+engine is the stand-in baseline.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_WINDOWS = 256
+N_SUPPORT = 13
+WIN_LEN = 300
+ERROR_RATE = 0.06
+BASELINE_SUBSET = 12
+
+
+def make_windows(seed=0):
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < ERROR_RATE / 3:
+                continue
+            if r < 2 * ERROR_RATE / 3:
+                out.append(bases[rng.integers(0, 4)])
+            else:
+                out.append(ch)
+                if r < ERROR_RATE:
+                    out.append(bases[rng.integers(0, 4)])
+        return "".join(out)
+
+    windows = []
+    for _ in range(N_WINDOWS):
+        L = int(rng.integers(WIN_LEN * 2 // 3, WIN_LEN * 4 // 3))
+        true = "".join(bases[i] for i in rng.integers(0, 4, L))
+        windows.append([mutate(true) for _ in range(N_SUPPORT)])
+    return windows
+
+
+def main():
+    from haslr_tpu.kernels.consensus import batched_consensus
+
+    windows = make_windows()
+    # warm-up: compiles all bucket shapes (remote compile on TPU is slow)
+    batched_consensus(windows)
+    t0 = time.time()
+    batched_consensus(windows)
+    tpu_dt = time.time() - t0
+    tpu_rate = N_WINDOWS / tpu_dt
+
+    from haslr_tpu.assemble.poa import poa_consensus
+
+    t0 = time.time()
+    for w in windows[:BASELINE_SUBSET]:
+        poa_consensus(w)
+    poa_dt = time.time() - t0
+    poa_rate = BASELINE_SUBSET / poa_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "consensus_windows_per_s_chip",
+                "value": round(tpu_rate, 2),
+                "unit": "windows/s",
+                "vs_baseline": round(tpu_rate / poa_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

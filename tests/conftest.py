@@ -1,14 +1,15 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Multi-chip sharding is exercised on CPU (no multi-chip TPU hardware in CI);
-environment variables must be set before the first ``import jax`` anywhere.
+IMPORTANT: on this machine a sitecustomize imports jax at interpreter
+startup with JAX_PLATFORMS=axon (the remote-TPU tunnel platform), so
+setting environment variables here is a no-op — jax is already imported.
+Runtime config updates still work because no backend has been initialized
+yet; they force genuinely-local CPU execution (the axon backend routes
+every compile/execute through a remote service with multi-minute latency
+variance, which must never happen in unit tests).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

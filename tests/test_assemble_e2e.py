@@ -80,6 +80,24 @@ def test_assembler_reconstructs_genome(dataset):
         assert os.path.isfile(out + "/asm/" + f), f
 
 
+def test_assembler_tpu_engine(dataset):
+    """The batched device consensus engine must reach at least POA quality."""
+    genome, contigs, reads, (contig_path, lr_path, paf_path), out = dataset
+    cfg = AssembleConfig(consensus_engine="tpu")
+    stats = run_assembler(
+        contig_path, lr_path, paf_path, out + "/asm_tpu", cfg=cfg, log=None
+    )
+    recs = list(cio.read_fastx(stats["assembly"]))
+    total = sum(len(r.seq) for r in recs)
+    assert total > 0.9 * len(genome)
+    ak = set()
+    for r in recs:
+        ak |= kmer_set(r.seq)
+    gk_mid = kmer_set(genome[2000:-2000])
+    recall_mid = len(gk_mid & ak) / len(gk_mid)
+    assert recall_mid > 0.985, f"interior kmer recall {recall_mid:.4f}"
+
+
 def test_uniq_freq_estimate(dataset):
     genome, contigs, reads, (contig_path, _, _), out = dataset
     from haslr_tpu.assemble.contig_store import ContigStore

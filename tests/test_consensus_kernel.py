@@ -1,0 +1,121 @@
+"""Tests for the batched NW kernel and the TPU-path consensus engine
+(running on CPU via the pure-JAX path)."""
+
+import numpy as np
+import pytest
+
+from haslr_tpu.core import seq as cseq
+from haslr_tpu.kernels import nw
+from haslr_tpu.kernels.consensus import batched_consensus
+
+
+def _align_pair(read: str, draft: str, W=128):
+    r = cseq.encode(read)[None, :]
+    d = cseq.encode(draft)[None, :]
+    R = ((len(read) + 127) // 128) * 128
+    D = ((len(draft) + 127) // 128) * 128
+    S = max(R, D, 128)
+    reads = np.full((1, S), 4, dtype=np.uint8)
+    drafts = np.full((1, S), 4, dtype=np.uint8)
+    reads[0, : r.shape[1]] = r
+    drafts[0, : d.shape[1]] = d
+    dirs, base = nw.banded_nw_batch(
+        reads, np.array([len(read)]), drafts, np.array([len(draft)]), W
+    )
+    m = nw.traceback_batch(
+        dirs, base, np.array([len(read)]), np.array([len(draft)]), S
+    )
+    return m[0, : len(read)]
+
+
+def test_nw_identity():
+    s = "ACGTACGTTGCA" * 4
+    m = _align_pair(s, s)
+    np.testing.assert_array_equal(m, np.arange(len(s)))
+
+
+def test_nw_substitution():
+    draft = "ACGTACGTACGTACGT"
+    read = "ACGTACGAACGTACGT"  # one substitution, same length
+    m = _align_pair(read, draft)
+    np.testing.assert_array_equal(m, np.arange(len(read)))
+
+
+def test_nw_deletion_in_read():
+    draft = "AACCGGTTAACCGGTT"
+    read = "AACCGGTAACCGGTT"  # draft pos 7 deleted
+    m = _align_pair(read, draft)
+    assert len(m) == 15
+    # mapping must be strictly increasing over aligned positions, draft pos
+    # 7 or equivalent skipped
+    aligned = m[m >= 0]
+    assert (np.diff(aligned) >= 1).all()
+    assert set(np.diff(aligned)) == {1, 2}
+
+
+def test_nw_insertion_in_read():
+    draft = "AACCGGTTAACCGGTT"
+    read = "AACCGGTTXAACCGGTT".replace("X", "T")
+    m = _align_pair(read, draft)
+    ins = m[m <= -2]
+    assert len(ins) == 1
+    anchor = -int(ins[0]) - 3
+    # any anchor inside the G/T homopolymer context is score-equivalent
+    assert 4 <= anchor <= 8
+
+
+def test_batched_consensus_identical():
+    s = "ACGTTGCAGGACCATAGGACCA"
+    out = batched_consensus([[s, s, s]])
+    assert out == [s]
+
+
+def test_batched_consensus_empty_and_single():
+    assert batched_consensus([[]]) == [""]
+    assert batched_consensus([["ACGT"]]) == ["ACGT"]
+    assert batched_consensus([["", ""]]) == [""]
+
+
+def test_batched_consensus_majority():
+    rng = np.random.default_rng(5)
+    bases = "ACGT"
+    true = "".join(bases[i] for i in rng.integers(0, 4, 400))
+
+    def mutate(s, rate=0.08):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < rate / 3:
+                continue
+            if r < 2 * rate / 3:
+                out.append(bases[rng.integers(0, 4)])
+            else:
+                out.append(ch)
+                if r < rate:
+                    out.append(bases[rng.integers(0, 4)])
+        return "".join(out)
+
+    windows = [[mutate(true) for _ in range(13)] for _ in range(3)]
+    outs = batched_consensus(windows)
+    for cons in outs:
+        assert abs(len(cons) - len(true)) < 12
+        # identity via shared kmers
+        k = 21
+        tk = {true[i : i + k] for i in range(len(true) - k + 1)}
+        ck = {cons[i : i + k] for i in range(len(cons) - k + 1)}
+        shared = len(tk & ck) / len(tk)
+        assert shared > 0.9, shared
+
+
+def test_batched_consensus_mixed_lengths():
+    # windows of very different sizes exercise multiple buckets in one call
+    rng = np.random.default_rng(9)
+    bases = "ACGT"
+    outs_expected = []
+    windows = []
+    for L in [40, 200, 700, 1500]:
+        true = "".join(bases[i] for i in rng.integers(0, 4, L))
+        windows.append([true] * 5)
+        outs_expected.append(true)
+    outs = batched_consensus(windows)
+    assert outs == outs_expected
