@@ -1,0 +1,209 @@
+"""Device k-mer counting: pack, canonicalize, sort, segment-count.
+
+The counting core of the minia replacement (reference pipeline stage
+``minia -kmer-size 49 -abundance-min 3``, ``bin/haslr.py:180``), done the
+TPU way: k-mers across the whole read batch are packed into (hi, lo)
+uint32x4/uint64 lanes with static shift loops, canonicalized against their
+reverse complements, sorted on device (two-key radix sort via
+``jax.lax.sort``) and run-length encoded.  Abundance filtering happens on
+the sorted output.
+
+A numpy twin (:func:`count_kmers_host`) provides the identical result for
+tests and small inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEP = 4  # separator code between concatenated reads
+
+
+def _pack_pair_np(codes: np.ndarray, k: int):
+    """All k-mer (hi, lo) uint64 pairs + validity mask (numpy)."""
+    n = len(codes)
+    if n < k:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, bool)
+    m = n - k + 1
+    hi = np.zeros(m, np.uint64)
+    lo = np.zeros(m, np.uint64)
+    c = codes.astype(np.uint64)
+    k_lo = min(k, 32)
+    k_hi = k - k_lo
+    for j in range(k_hi):
+        hi = (hi << np.uint64(2)) | (c[j : m + j] & np.uint64(3))
+    for j in range(k_hi, k):
+        lo = (lo << np.uint64(2)) | (c[j : m + j] & np.uint64(3))
+    bad = (codes >= SEP).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(bad)])
+    valid = (cs[k:] - cs[:-k]) == 0
+    return hi, lo, valid
+
+
+def _revcomp_pair_np(hi, lo, k):
+    """Reverse complement of (hi, lo) packed k-mers.
+
+    The original stream is hi-bases (first k-k_lo) then lo-bases (last
+    k_lo); the reverse complement emits complemented bases in reverse
+    order, so collecting 2-bit groups lo-first/LSB-first yields the new
+    stream front-to-back: the first ``k_hi`` collected groups refill rhi,
+    the rest rlo.
+    """
+    k_lo = min(k, 32)
+    k_hi = k - k_lo
+    vals = []
+    x = (~lo).copy()
+    for _ in range(k_lo):
+        vals.append(x & np.uint64(3))
+        x >>= np.uint64(2)
+    x = (~hi).copy()
+    for _ in range(k_hi):
+        vals.append(x & np.uint64(3))
+        x >>= np.uint64(2)
+    rhi = np.zeros_like(hi)
+    for v in vals[:k_hi]:
+        rhi = (rhi << np.uint64(2)) | v
+    rlo = np.zeros_like(lo)
+    for v in vals[k_hi:]:
+        rlo = (rlo << np.uint64(2)) | v
+    return rhi, rlo
+
+
+def count_kmers_host(codes: np.ndarray, k: int, min_count: int = 1):
+    """Canonical k-mer counts (numpy).  ``codes`` may contain SEP=4
+    separators between reads.  Returns (hi, lo, count) sorted."""
+    hi, lo, valid = _pack_pair_np(codes, k)
+    hi, lo = hi[valid], lo[valid]
+    rhi, rlo = _revcomp_pair_np(hi, lo, k)
+    use_rc = (rhi < hi) | ((rhi == hi) & (rlo < lo))
+    chi = np.where(use_rc, rhi, hi)
+    clo = np.where(use_rc, rlo, lo)
+    order = np.lexsort((clo, chi))
+    chi, clo = chi[order], clo[order]
+    if len(chi) == 0:
+        return chi, clo, np.zeros(0, np.int64)
+    new = np.concatenate(
+        [[True], (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])]
+    )
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.concatenate([starts, [len(chi)]]))
+    keep = counts >= min_count
+    return chi[starts][keep], clo[starts][keep], counts[keep]
+
+
+def _word_spans(k: int):
+    """Split k bases into <=16-base words (uint32 lanes, device-friendly)."""
+    spans = []
+    s = 0
+    while s < k:
+        spans.append((s, min(s + 16, k)))
+        s += 16
+    return spans
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _device_sorted_kmers(codes: jnp.ndarray, k: int):
+    """Canonical k-mers as uint32 word tuples, sorted on device.
+
+    TPUs have no native 64-bit integers, so a k-mer is 2k bits spread over
+    ceil(k/16) uint32 lanes; canonicalization and the sort compare the
+    word tuples lexicographically (== base-lexicographic order, the same
+    order the host path uses).
+    """
+    n = codes.shape[0]
+    m = n - k + 1
+    c = codes.astype(jnp.uint32)
+    spans = _word_spans(k)
+    three = np.uint32(3)
+    words = []
+    for (b0, b1) in spans:
+        w = jnp.zeros(m, jnp.uint32)
+        for j in range(b0, b1):
+            w = (w << np.uint32(2)) | (
+                jax.lax.dynamic_slice(c, (j,), (m,)) & three
+            )
+        words.append(w)
+    bad = (codes >= SEP).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
+    valid = (cs[k:] - cs[:-k]) == 0
+    # reverse complement: collect complemented 2-bit groups last-word
+    # LSB-first; the stream refills the words front-to-back
+    vals = []
+    for w, (b0, b1) in zip(reversed(words), reversed(spans)):
+        x = ~w
+        for _ in range(b1 - b0):
+            vals.append(x & three)
+            x = x >> np.uint32(2)
+    rwords = []
+    pos = 0
+    for (b0, b1) in spans:
+        w = jnp.zeros(m, jnp.uint32)
+        for v in vals[pos : pos + (b1 - b0)]:
+            w = (w << np.uint32(2)) | v
+        rwords.append(w)
+        pos += b1 - b0
+    # canonical = lexicographic min(fwd, rc)
+    use_rc = jnp.zeros(m, jnp.bool_)
+    undecided = jnp.ones(m, jnp.bool_)
+    for w, rw in zip(words, rwords):
+        use_rc = use_rc | (undecided & (rw < w))
+        undecided = undecided & (rw == w)
+    canon = [jnp.where(use_rc, rw, w) for w, rw in zip(words, rwords)]
+    FULL = np.uint32(0xFFFFFFFF)
+    canon = [jnp.where(valid, w, FULL) for w in canon]
+    sorted_words = jax.lax.sort(tuple(canon), num_keys=len(canon))
+    return sorted_words, jnp.sum(valid.astype(jnp.int32))
+
+
+def _words_to_pair(words: list, k: int):
+    """Recombine uint32 word columns into the host (hi, lo) uint64 pair."""
+    spans = _word_spans(k)
+    hi = np.zeros(len(words[0]), np.uint64)
+    lo = np.zeros(len(words[0]), np.uint64)
+    for w, (b0, b1) in zip(words, spans):
+        for nb in range(b1 - b0):
+            base = (w.astype(np.uint64) >> np.uint64(2 * (b1 - b0 - 1 - nb))) \
+                & np.uint64(3)
+            hi = (hi << np.uint64(2)) | ((lo >> np.uint64(62)) & np.uint64(3))
+            lo = (lo << np.uint64(2)) | base
+    k_hi = max(0, k - 32)
+    mask_hi = np.uint64((1 << (2 * k_hi)) - 1) if k_hi else np.uint64(0)
+    return hi & mask_hi, lo
+
+
+def count_kmers_device(codes: np.ndarray, k: int, min_count: int = 1):
+    """Device-path canonical k-mer counting; same contract/output as
+    :func:`count_kmers_host`."""
+    if len(codes) < k:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, np.int64)
+    # pad to power-of-two length with separators: stable jit shapes (on the
+    # TPU platform every new shape is an expensive compile)
+    n = 1024
+    while n < len(codes):
+        n *= 2
+    if n != len(codes):
+        codes = np.concatenate(
+            [codes, np.full(n - len(codes), SEP, dtype=np.uint8)]
+        )
+    sorted_words, n_valid = _device_sorted_kmers(jnp.asarray(codes), k)
+    nv = int(n_valid)
+    words = [np.asarray(w)[:nv] for w in sorted_words]
+    if nv == 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, np.int64)
+    new = np.zeros(nv, bool)
+    new[0] = True
+    for w in words:
+        new[1:] |= w[1:] != w[:-1]
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.concatenate([starts, [nv]]))
+    keep = counts >= min_count
+    starts = starts[keep]
+    hi, lo = _words_to_pair([w[starts] for w in words], k)
+    return hi, lo, counts[keep]

@@ -1,0 +1,83 @@
+"""Short-read assembly stage: reads → solid k-mers → unitig/contig FASTA.
+
+The minia-stage driver (reference ``bin/haslr.py:160-200``: ``minia
+-kmer-size 49 -abundance-min 3 -no-ec-removal``).  Counting runs on device
+(:mod:`haslr_tpu.kernels.kmer`); compaction on host
+(:mod:`haslr_tpu.sr.dbg`).
+
+``asm_type="contigs"`` additionally clips short low-coverage tips from the
+unitig graph before re-compaction (minia's contig-level simplification);
+``"unitigs"`` emits the raw compacted graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from haslr_tpu.core import io as cio
+from haslr_tpu.core import seq as cseq
+from haslr_tpu.sr import dbg
+
+
+def load_read_codes(paths: list[str]) -> np.ndarray:
+    """Concatenate all reads as 2-bit codes with SEP=4 separators."""
+    chunks = []
+    for path in paths:
+        for rec in cio.read_fastx(path):
+            chunks.append(cseq.encode(rec.seq))
+            chunks.append(np.array([4], dtype=np.uint8))
+    if not chunks:
+        return np.zeros(0, dtype=np.uint8)
+    return np.concatenate(chunks)
+
+
+def _clip_tips(unitigs, k: int, min_tip_len: int | None = None,
+               rel_cov: float = 0.5):
+    """Drop tip unitigs: short, dead-ended on one side, and weaker than the
+    neighborhood mean abundance.  Returns the surviving unitig list
+    (re-numbered, links rebuilt by string matching is unnecessary: we
+    simply drop the dropped ids from links)."""
+    if min_tip_len is None:
+        min_tip_len = 3 * k
+    by_id = {u.uid: u for u in unitigs}
+    drop = set()
+    for u in unitigs:
+        sides = {s for s, _, _ in u.links}
+        dead_end = len(sides) < 2
+        if not dead_end or len(u.seq) >= min_tip_len:
+            continue
+        neigh = [by_id[t].km for _, t, _ in u.links if t != u.uid]
+        if neigh and u.km < rel_cov * float(np.mean(neigh)):
+            drop.add(u.uid)
+    if not drop:
+        return unitigs
+    kept = []
+    remap = {}
+    for u in unitigs:
+        if u.uid in drop:
+            continue
+        remap[u.uid] = len(kept)
+        kept.append(u)
+    for u in kept:
+        u.links = [
+            (a, remap[t], c) for a, t, c in u.links if t in remap
+        ]
+        u.uid = remap[u.uid]
+    return kept
+
+
+def assemble_short_reads(
+    read_paths: list[str],
+    out_fasta: str,
+    kmer_size: int = 49,
+    min_abundance: int = 3,
+    asm_type: str = "contigs",
+    device: bool = True,
+) -> int:
+    codes = load_read_codes(read_paths)
+    unitigs = dbg.assemble_unitigs(codes, kmer_size, min_abundance,
+                                   device=device)
+    if asm_type == "contigs":
+        unitigs = _clip_tips(unitigs, kmer_size)
+    dbg.write_unitigs_fasta(unitigs, out_fasta)
+    return len(unitigs)

@@ -1,0 +1,198 @@
+"""De Bruijn graph compaction: solid k-mers → unitigs/contigs with minia-
+style metadata.
+
+Replaces the minia stage (reference ``bin/haslr.py:160-200``): counting is
+done by :mod:`haslr_tpu.kernels.kmer` (device or host path); this module
+walks the bidirected de Bruijn graph of solid canonical k-mers into maximal
+non-branching unitigs and emits FASTA with the header tags downstream
+stages parse — ``KC:i:`` total k-mer count and ``km:f:`` mean abundance
+(``Contig.cpp:63-66``) and ``L:<sign>:<id>:<sign>`` adjacency links
+(``nooverlap.cpp:56-71``).
+
+Graph walking is host-side by design (pointer chasing over a ~10^5-10^7
+node graph, SURVEY.md §7.1); k-mers are arbitrary-precision ints (2k bits).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from haslr_tpu.core import seq as cseq
+
+
+def rc_int(v: int, k: int) -> int:
+    """Reverse complement of a 2k-bit packed k-mer int."""
+    out = 0
+    for _ in range(k):
+        out = (out << 2) | (3 - (v & 3))
+        v >>= 2
+    return out
+
+
+def kmer_to_str(v: int, k: int) -> str:
+    return "".join("ACGT"[(v >> (2 * (k - 1 - i))) & 3] for i in range(k))
+
+
+@dataclass
+class Unitig:
+    uid: int
+    seq: str
+    kc: int          # sum of member k-mer counts (minia KC:i:)
+    first: int       # first oriented k-mer value
+    last: int        # last oriented k-mer value
+    links: list = field(default_factory=list)  # (from_sign, to_id, to_sign)
+    kc_positions: int = 0  # number of member k-mers
+
+    @property
+    def km(self) -> float:
+        """Mean k-mer abundance (minia km:f:)."""
+        return self.kc / max(1, self.kc_positions)
+
+
+class DeBruijnGraph:
+    def __init__(self, k: int, counts: dict[int, int]):
+        self.k = k
+        self.mask = (1 << (2 * k)) - 1
+        self.counts = counts  # canonical kmer int -> count
+
+    @classmethod
+    def from_pairs(cls, hi: np.ndarray, lo: np.ndarray, cnt: np.ndarray,
+                   k: int) -> "DeBruijnGraph":
+        counts = {}
+        for h, l, c in zip(hi.tolist(), lo.tolist(), cnt.tolist()):
+            counts[(int(h) << 64) | int(l)] = int(c)
+        return cls(k, counts)
+
+    def canon(self, v: int) -> int:
+        r = rc_int(v, self.k)
+        return r if r < v else v
+
+    def succs(self, v: int) -> list[int]:
+        """Oriented right extensions of oriented k-mer v present in graph."""
+        base = (v << 2) & self.mask
+        out = []
+        for b in range(4):
+            w = base | b
+            if self.canon(w) in self.counts:
+                out.append(w)
+        return out
+
+    def preds(self, v: int) -> list[int]:
+        """Oriented left extensions (as oriented k-mers ending before v)."""
+        return [rc_int(w, self.k) for w in self.succs(rc_int(v, self.k))]
+
+    # -- unitig construction ------------------------------------------------
+
+    def _is_start(self, v: int) -> bool:
+        p = self.preds(v)
+        if len(p) != 1:
+            return True
+        # unique predecessor; if it branches forward, v starts a unitig
+        return len(self.succs(p[0])) != 1
+
+    def build_unitigs(self) -> list[Unitig]:
+        visited: set[int] = set()
+        unitigs: list[Unitig] = []
+
+        def walk(v0: int):
+            k = self.k
+            chars = [kmer_to_str(v0, k)]
+            kc = self.counts[self.canon(v0)]
+            n_kmers = 1
+            visited.add(self.canon(v0))
+            v = v0
+            while True:
+                s = self.succs(v)
+                if len(s) != 1:
+                    break
+                w = s[0]
+                if len(self.preds(w)) != 1:
+                    break
+                cw = self.canon(w)
+                if cw in visited:
+                    break  # cycle closure
+                visited.add(cw)
+                chars.append("ACGT"[w & 3])
+                kc += self.counts[cw]
+                n_kmers += 1
+                v = w
+            u = Unitig(len(unitigs), "".join(chars), kc, v0, v)
+            u.kc_positions = n_kmers
+            unitigs.append(u)
+
+        # pass 1: from unitig-start kmers, both orientations
+        for cv in list(self.counts):
+            for v in (cv, rc_int(cv, self.k)):
+                if self.canon(v) in visited:
+                    break
+                if self._is_start(v):
+                    walk(v)
+                    break
+        # pass 2: leftovers are perfect cycles
+        for cv in list(self.counts):
+            if cv not in visited:
+                walk(cv)
+
+        self._attach_links(unitigs)
+        return unitigs
+
+    def _attach_links(self, unitigs: list[Unitig]):
+        # map end k-mers (canonical) -> (uid, which ends they are)
+        canon_of = {}
+        for u in unitigs:
+            canon_of[self.canon(u.first)] = canon_of.get(
+                self.canon(u.first), []
+            ) + [u.uid]
+            canon_of.setdefault(self.canon(u.last), [])
+            if u.uid not in canon_of[self.canon(u.last)]:
+                canon_of[self.canon(u.last)].append(u.uid)
+
+        def resolve(w: int):
+            """Which unitig end does oriented k-mer w correspond to?"""
+            cw = self.canon(w)
+            for uid in canon_of.get(cw, []):
+                u2 = unitigs[uid]
+                if w == u2.first:
+                    return uid, "+"
+                if w == rc_int(u2.last, self.k):
+                    return uid, "-"
+            return None
+
+        for u in unitigs:
+            for w in self.succs(u.last):
+                r = resolve(w)
+                if r:
+                    u.links.append(("+", r[0], r[1]))
+            for w in self.succs(rc_int(u.first, self.k)):
+                r = resolve(w)
+                if r:
+                    u.links.append(("-", r[0], r[1]))
+
+
+def write_unitigs_fasta(unitigs: list[Unitig], path: str):
+    """Minia-format FASTA: ``>id LN:i: KC:i: km:f: L:...`` headers."""
+    with open(path, "w") as fp:
+        for u in unitigs:
+            km = u.kc / max(1, u.kc_positions)
+            links = " ".join(f"L:{a}:{b}:{c}" for a, b, c in u.links)
+            header = (
+                f">{u.uid} LN:i:{len(u.seq)} KC:i:{u.kc} km:f:{km:.1f}"
+            )
+            if links:
+                header += " " + links
+            fp.write(header + "\n" + u.seq + "\n")
+
+
+def assemble_unitigs(codes_with_seps: np.ndarray, k: int, min_abundance: int,
+                     device: bool = True) -> list[Unitig]:
+    """Count solid k-mers and compact to unitigs."""
+    from haslr_tpu.kernels import kmer as kk
+
+    if device:
+        hi, lo, cnt = kk.count_kmers_device(codes_with_seps, k, min_abundance)
+    else:
+        hi, lo, cnt = kk.count_kmers_host(codes_with_seps, k, min_abundance)
+    g = DeBruijnGraph.from_pairs(hi, lo, cnt, k)
+    return g.build_unitigs()

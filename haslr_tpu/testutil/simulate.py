@@ -26,6 +26,30 @@ def random_genome(rng, length: int) -> str:
     return "".join(np.array(list(BASES))[rng.integers(0, 4, length)])
 
 
+def genome_with_repeats(
+    rng,
+    length: int,
+    n_families: int = 2,
+    copies_per_family: int = 4,
+    repeat_len: int = 400,
+) -> str:
+    """Random genome with interspersed repeat copies.
+
+    Repeats are what fragment a de Bruijn assembly into contigs — the
+    structure HASLR's backbone graph exists to bridge.  Copies are exact
+    (worst case for the assembler's uniqueness filters) and placed at
+    random positions, some reverse-complemented.
+    """
+    g = list(random_genome(rng, length))
+    families = [random_genome(rng, repeat_len) for _ in range(n_families)]
+    for fam in families:
+        for _ in range(copies_per_family):
+            pos = int(rng.integers(0, length - repeat_len))
+            s = fam if rng.random() < 0.5 else cseq.revcomp(fam)
+            g[pos : pos + repeat_len] = list(s)
+    return "".join(g)
+
+
 @dataclass
 class SimContig:
     cid: int
@@ -139,6 +163,39 @@ def make_reads(
         )
         total += len(seq)
     return reads
+
+
+def make_short_reads(
+    rng,
+    genome: str,
+    coverage: float = 40.0,
+    read_len: int = 150,
+    error_rate: float = 0.002,
+) -> list[str]:
+    """Illumina-like short reads (substitution errors only), both strands."""
+    n = len(genome)
+    total = 0
+    reads = []
+    while total < coverage * n:
+        start = int(rng.integers(0, max(1, n - read_len + 1)))
+        s = genome[start : start + read_len]
+        if error_rate > 0:
+            chars = list(s)
+            for i in range(len(chars)):
+                if rng.random() < error_rate:
+                    chars[i] = BASES[rng.integers(0, 4)]
+            s = "".join(chars)
+        if rng.random() < 0.5:
+            s = cseq.revcomp(s)
+        reads.append(s)
+        total += len(s)
+    return reads
+
+
+def write_short_reads(path: str, reads: list[str]):
+    with open(path, "w") as fp:
+        for i, s in enumerate(reads):
+            fp.write(f"@sr{i}\n{s}\n+\n{'I' * len(s)}\n")
 
 
 def true_paf_records(read: SimRead, contigs: list[SimContig], min_overlap=300):

@@ -1,0 +1,160 @@
+"""Short-read side tests: k-mer counting, de Bruijn compaction, nooverlap,
+fastutils equivalents."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from haslr_tpu.core import io as cio
+from haslr_tpu.core import seq as cseq
+from haslr_tpu.kernels import kmer as kk
+from haslr_tpu.sr import dbg, fastutils, nooverlap
+from haslr_tpu.sr.assemble_sr import assemble_short_reads
+from haslr_tpu.testutil import simulate
+
+
+def _rand_seq(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+
+@pytest.mark.parametrize("k", [15, 31, 49])
+def test_kmer_count_host_vs_device_vs_bruteforce(k):
+    rng = np.random.default_rng(0)
+    s = _rand_seq(rng, 400)
+    codes = np.concatenate(
+        [cseq.encode(s), [4], cseq.encode(s[100:300])]
+    ).astype(np.uint8)
+    hi, lo, cnt = kk.count_kmers_host(codes, k)
+    brute = Counter()
+    for part in (s, s[100:300]):
+        for i in range(len(part) - k + 1):
+            km = part[i : i + k]
+            brute[min(km, cseq.revcomp(km))] += 1
+    assert len(cnt) == len(brute)
+    assert int(cnt.sum()) == sum(brute.values())
+    dhi, dlo, dcnt = kk.count_kmers_device(codes, k)
+    np.testing.assert_array_equal(hi, dhi)
+    np.testing.assert_array_equal(lo, dlo)
+    np.testing.assert_array_equal(cnt, dcnt)
+
+
+def test_kmer_abundance_filter():
+    codes = np.concatenate(
+        [cseq.encode("ACGTACGTAC"), [4], cseq.encode("ACGTACGTAC")]
+    ).astype(np.uint8)
+    hi, lo, cnt = kk.count_kmers_host(codes, 5, min_count=2)
+    assert (cnt >= 2).all()
+
+
+def test_rc_int_roundtrip():
+    rng = np.random.default_rng(1)
+    for k in (7, 31, 49):
+        v = int(rng.integers(0, 1 << min(30, 2 * k)))
+        assert dbg.rc_int(dbg.rc_int(v, k), k) == v
+        s = dbg.kmer_to_str(v, k)
+        assert dbg.kmer_to_str(dbg.rc_int(v, k), k) == cseq.revcomp(s)
+
+
+def test_unitigs_single_chain():
+    """Error-free coverage of a random (repeat-free) genome compacts into
+    one unitig spanning the whole genome."""
+    rng = np.random.default_rng(2)
+    genome = _rand_seq(rng, 2000)
+    k = 31
+    codes = cseq.encode(genome)
+    unitigs = dbg.assemble_unitigs(codes, k, 1, device=False)
+    assert len(unitigs) == 1
+    u = unitigs[0]
+    assert u.seq in (genome, cseq.revcomp(genome))
+    assert u.kc_positions == len(genome) - k + 1
+    assert u.links == []
+
+
+def test_unitigs_break_at_repeat():
+    """A repeated block forces junctions: expect >1 unitig and links."""
+    rng = np.random.default_rng(3)
+    a = _rand_seq(rng, 600)
+    b = _rand_seq(rng, 600)
+    rep = _rand_seq(rng, 200)
+    genome = a + rep + b + rep + _rand_seq(rng, 300)
+    k = 31
+    unitigs = dbg.assemble_unitigs(cseq.encode(genome), k, 1, device=False)
+    assert len(unitigs) >= 4
+    # total unique sequence ~ genome minus one repeat copy
+    total = sum(len(u.seq) for u in unitigs)
+    assert total > len(genome) - 250 - 4 * k
+    assert any(u.links for u in unitigs)
+
+
+def test_sr_assembly_from_reads(tmp_path):
+    """Short reads at 40x -> unitigs covering the genome."""
+    rng = np.random.default_rng(4)
+    genome = _rand_seq(rng, 8000)
+    reads = simulate.make_short_reads(rng, genome, coverage=45.0)
+    rp = str(tmp_path / "sr.fq")
+    simulate.write_short_reads(rp, reads)
+    out = str(tmp_path / "asm.fa")
+    n = assemble_short_reads([rp], out, kmer_size=31, min_abundance=3,
+                             device=False)
+    recs = list(cio.read_fastx(out))
+    assert len(recs) == n
+    total = sum(len(r.seq) for r in recs)
+    assert total > 0.95 * len(genome)
+    # headers carry minia-style tags
+    assert "KC:i:" in recs[0].comment and "km:f:" in recs[0].comment
+    # genome kmers recovered
+    def ks(s, k=31):
+        return {
+            min(s[i:i+k], cseq.revcomp(s[i:i+k]))
+            for i in range(len(s) - k + 1)
+        }
+    gk = ks(genome)
+    ak = set()
+    for r in recs:
+        ak |= ks(r.seq)
+    assert len(gk & ak) / len(gk) > 0.95
+
+
+def test_nooverlap(tmp_path):
+    p = tmp_path / "u.fa"
+    p.write_text(
+        ">0 LN:i:20 KC:i:100 km:f:5.0 L:+:1:+\n"
+        "AAAAAAAAAACCCCCCCCCC\n"
+        ">1 LN:i:20 KC:i:100 km:f:5.0 L:-:0:- L:+:2:+\n"
+        "GGGGGGGGGGTTTTTTTTTT\n"
+        ">2 LN:i:20 KC:i:100 km:f:5.0 L:-:1:-\n"
+        "ACACACACACGTGTGTGTGT\n"
+    )
+    out = tmp_path / "noov.fa"
+    nooverlap.remove_overlaps(str(p), str(out), kmer_size=9)
+    recs = list(cio.read_fastx(str(out)))
+    # k=9 -> overlapLen=8 -> trim 4
+    assert recs[0].seq == "AAAAAAAAAACCCCCC"          # outgoing only: tail trim
+    assert recs[1].seq == "GGGGGGTTTTTT"              # both ends
+    assert recs[2].seq == "ACACACGTGTGTGTGT"          # incoming only: head trim
+    assert recs[1].comment.startswith("LN:i:20")
+
+
+def test_fastutils(tmp_path):
+    a = tmp_path / "a.fa"
+    a.write_text(">x\nACGTACGT\n>y\nTT\n")
+    out = tmp_path / "renamed.fa"
+    n = fastutils.format_rename([str(a)], str(out))
+    assert n == 2
+    recs = list(cio.read_fastx(str(out)))
+    assert [r.name for r in recs] == ["0", "1"]
+
+    flt = tmp_path / "filtered.fa"
+    n = fastutils.format_min_len(str(out), str(flt), 5)
+    assert n == 1
+
+    # subsample keeps longest reads up to the budget
+    b = tmp_path / "b.fa"
+    b.write_text(">r1\n" + "A" * 100 + "\n>r2\n" + "C" * 300 + "\n>r3\n" + "G" * 200 + "\n")
+    sub = tmp_path / "sub.fa"
+    n = fastutils.subsample_longest([str(b)], str(sub), depth=1.0,
+                                    genome_size=400)
+    recs = list(cio.read_fastx(str(sub)))
+    assert [len(r.seq) for r in recs] == [300, 200]
+    assert [r.name for r in recs] == ["0", "1"]
