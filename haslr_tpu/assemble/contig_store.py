@@ -49,18 +49,32 @@ class ContigStore:
         Tag parsing mirrors ``Contig.cpp:63-66`` (strstr on the comment);
         contig ids are assigned by file order, matching the reference's
         assumption that minimap2 target names equal those ordinal ids.
+        Uses the native C++ reader when available.
         """
         store = cls()
-        for rec in cio.read_fastx(path):
+
+        def add_codes(codes, comment):
             kc, km = 0, 0.0
-            c = rec.comment
-            p = c.find("KC:i:")
+            p = comment.find("KC:i:")
             if p >= 0:
-                kc = int(c[p + 5 :].split()[0])
-            p = c.find("km:f:")
+                kc = int(comment[p + 5 :].split()[0])
+            p = comment.find("km:f:")
             if p >= 0:
-                km = float(c[p + 5 :].split()[0])
-            store.add(rec.seq, kc, km)
+                km = float(comment[p + 5 :].split()[0])
+            store.seqs.add(codes)
+            store.kmer_count.append(kc)
+            store.mean_kmer.append(km)
+
+        from haslr_tpu import native
+
+        nat = native.read_fastx_encoded(path)
+        if nat is not None:
+            codes, offsets, _names, comments = nat
+            for i, comment in enumerate(comments):
+                add_codes(codes[offsets[i] : offsets[i + 1]], comment)
+        else:
+            for rec in cio.read_fastx(path):
+                add_codes(cseq.encode(rec.seq), rec.comment)
         return store
 
     def calc_uniq_freq(self) -> float:

@@ -74,8 +74,17 @@ class LongreadStore:
     @classmethod
     def load_fasta(cls, path: str) -> "LongreadStore":
         store = cls()
-        for rec in cio.read_fastx(path):
-            store.add(rec.seq)
+        from haslr_tpu import native
+
+        nat = native.read_fastx_encoded(path)
+        if nat is not None:
+            codes, offsets, _names, _comments = nat
+            for i in range(len(offsets) - 1):
+                store.seqs.add(codes[offsets[i] : offsets[i + 1]])
+                store.alignments.append([])
+        else:
+            for rec in cio.read_fastx(path):
+                store.add(rec.seq)
         return store
 
 

@@ -159,10 +159,11 @@ def _one_round(window_codes, drafts, match, mismatch, gap):
                 dr[k, : len(d)] = d
                 r_lens[k] = len(c)
                 d_lens[k] = len(d)
-            dirs, base = nw.banded_nw_batch(
+            # device-resident DP + traceback: only the compact (B, S)
+            # mapping crosses the (slow) device->host link
+            mapping = nw.align_mapping_device(
                 reads, r_lens, dr, d_lens, W, match, mismatch, gap
             )
-            mapping = nw.traceback_batch(dirs, base, r_lens, d_lens, S)
             for k, (wi, ri) in enumerate(chunk):
                 per_window_maps[wi][ri] = mapping[k]
     new_drafts = []

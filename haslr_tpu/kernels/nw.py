@@ -52,8 +52,8 @@ def _shift_lanes(x, off):
     return jax.lax.dynamic_slice_in_dim(xp, off + 1, W, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
-def _nw_scan(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch, gap):
+def _nw_scan_inner(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
+                   gap):
     """Banded DP over anti-diagonals; returns dirs[T+1, B, W] uint8."""
     B = reads.shape[0]
     T = R + D
@@ -102,6 +102,11 @@ def _nw_scan(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch, gap):
     return jnp.concatenate(
         [jnp.zeros((1, B, W), dtype=jnp.uint8), dirs], axis=0
     )
+
+
+_nw_scan = functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))(
+    _nw_scan_inner
+)
 
 
 def nw_scores(reads, r_lens, drafts, d_lens, W=128, match=5, mismatch=-4,
@@ -169,6 +174,79 @@ def nw_scores(reads, r_lens, drafts, d_lens, W=128, match=5, mismatch=-4,
     )
     # degenerate empty pairs score 0
     return jnp.where((r_lens == 0) & (d_lens == 0), 0, best)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def _align_mapping(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
+                   gap):
+    """DP + traceback entirely on device; returns mapping (B, R) int32.
+
+    The direction tensor (T+1, B, W) never leaves the device — essential
+    here because device->host bandwidth (~40 MB/s through the TPU relay)
+    is the bottleneck, not compute.  The traceback is the same lockstep
+    walk as :func:`traceback_batch`, expressed as a fixed-length scan of
+    vectorized gathers/scatters over the read batch.
+    """
+    B = reads.shape[0]
+    T = R + D
+    dirs = _nw_scan_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
+                          mismatch, gap)
+    base = jnp.asarray(band_bases(R, D, W))
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, j, mapping = carry
+        active = (i > 0) | (j > 0)
+        t = i + j
+        lane = j - base[t]
+        in_band = (lane >= 0) & (lane < W) & active
+        d = dirs[t, bidx, jnp.clip(lane, 0, W - 1)]
+        d = jnp.where(in_band, d, jnp.uint8(LEFT))
+        d = jnp.where(active & (i == 0), jnp.uint8(LEFT), d)
+        d = jnp.where(active & (j == 0), jnp.uint8(UP), d)
+        is_diag = active & (d == DIAG)
+        is_up = active & (d == UP)
+        is_left = active & (d == LEFT)
+        write = is_diag | is_up
+        val = jnp.where(is_diag, j - 1, -(j + 2)).astype(jnp.int32)
+        idx = jnp.where(write, i - 1, R)  # non-writers hit the dump slot
+        mapping = mapping.at[bidx, idx].set(val)
+        i = i - (is_diag | is_up)
+        j = j - (is_diag | is_left)
+        return (i, j, mapping), None
+
+    mapping0 = jnp.full((B, R + 1), -1, jnp.int32)
+    (i, j, mapping), _ = jax.lax.scan(
+        step,
+        (r_lens.astype(jnp.int32), d_lens.astype(jnp.int32), mapping0),
+        None,
+        length=T,
+    )
+    return mapping[:, :R]
+
+
+def align_mapping_device(
+    reads: np.ndarray,
+    r_lens: np.ndarray,
+    drafts: np.ndarray,
+    d_lens: np.ndarray,
+    W: int = 128,
+    match: int = 5,
+    mismatch: int = -4,
+    gap: int = -8,
+) -> np.ndarray:
+    """Device-resident align + traceback; returns the (B, R) mapping (see
+    :func:`traceback_batch` for the encoding)."""
+    R = reads.shape[1]
+    D = drafts.shape[1]
+    m = _align_mapping(
+        jnp.asarray(reads),
+        jnp.asarray(r_lens, dtype=jnp.int32),
+        jnp.asarray(drafts),
+        jnp.asarray(d_lens, dtype=jnp.int32),
+        R, D, W, match, mismatch, gap,
+    )
+    return np.asarray(m)
 
 
 def banded_nw_batch(

@@ -1,0 +1,103 @@
+"""Native (C++) runtime components with lazy build + ctypes bindings.
+
+``libhaslr.so`` is compiled on demand from the sources in this directory
+(g++ -O3, linked against zlib) and cached next to them.  Every native entry
+point has a pure-Python fallback, so the package works without a compiler;
+the native path removes per-record Python overhead from the I/O hot loops
+(the role kseq.h/zlib play in the reference)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libhaslr.so")
+_SOURCES = [os.path.join(_DIR, "fastx.cpp")]
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        *_SOURCES, "-lz", "-o", _SO,
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=240)
+        return res.returncode == 0 and os.path.isfile(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    newest_src = max(os.path.getmtime(s) for s in _SOURCES)
+    if not os.path.isfile(_SO) or os.path.getmtime(_SO) < newest_src:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.hx_read_fastx.restype = ctypes.c_void_p
+    lib.hx_read_fastx.argtypes = [ctypes.c_char_p]
+    for fn in ("hx_n", "hx_codes_size", "hx_names_size", "hx_comments_size"):
+        getattr(lib, fn).restype = ctypes.c_uint64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.hx_codes.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.hx_codes.argtypes = [ctypes.c_void_p]
+    lib.hx_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.hx_offsets.argtypes = [ctypes.c_void_p]
+    lib.hx_names.restype = ctypes.c_void_p
+    lib.hx_names.argtypes = [ctypes.c_void_p]
+    lib.hx_comments.restype = ctypes.c_void_p
+    lib.hx_comments.argtypes = [ctypes.c_void_p]
+    lib.hx_free.restype = None
+    lib.hx_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def read_fastx_encoded(path: str):
+    """Parse FASTA/FASTQ into (codes, offsets, names, comments) using the
+    native reader; returns None when the native library is unavailable or
+    the file cannot be parsed (callers fall back to the Python reader).
+
+    ``codes`` is one uint8 array of 2-bit codes; record i spans
+    ``codes[offsets[i]:offsets[i+1]]``.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.hx_read_fastx(path.encode())
+    if not h:
+        return None
+    try:
+        n = lib.hx_n(h)
+        ncodes = lib.hx_codes_size(h)
+        if ncodes:
+            codes = np.ctypeslib.as_array(
+                lib.hx_codes(h), shape=(ncodes,)
+            ).copy()
+        else:
+            codes = np.zeros(0, dtype=np.uint8)
+        offsets = np.ctypeslib.as_array(
+            lib.hx_offsets(h), shape=(n + 1,)
+        ).copy()
+        names_blob = ctypes.string_at(lib.hx_names(h), lib.hx_names_size(h))
+        comments_blob = ctypes.string_at(
+            lib.hx_comments(h), lib.hx_comments_size(h)
+        )
+        names = names_blob.decode().split("\0")[:n] if n else []
+        comments = comments_blob.decode().split("\0")[:n] if n else []
+        return codes, offsets.astype(np.int64), names, comments
+    finally:
+        lib.hx_free(h)

@@ -20,12 +20,27 @@ from haslr_tpu.sr import dbg
 
 
 def load_read_codes(paths: list[str]) -> np.ndarray:
-    """Concatenate all reads as 2-bit codes with SEP=4 separators."""
+    """Concatenate all reads as 2-bit codes with SEP=4 separators (native
+    C++ reader when available)."""
+    from haslr_tpu import native
+
     chunks = []
     for path in paths:
-        for rec in cio.read_fastx(path):
-            chunks.append(cseq.encode(rec.seq))
-            chunks.append(np.array([4], dtype=np.uint8))
+        nat = native.read_fastx_encoded(path)
+        if nat is not None:
+            codes, offsets, _n, _c = nat
+            n = len(offsets) - 1
+            # insert a separator after every record in one vectorized pass:
+            # element e of record i lands at e + i
+            out = np.full(len(codes) + n, 4, dtype=np.uint8)
+            lens = np.diff(offsets)
+            idx = np.arange(len(codes)) + np.repeat(np.arange(n), lens)
+            out[idx] = codes
+            chunks.append(out)
+        else:
+            for rec in cio.read_fastx(path):
+                chunks.append(cseq.encode(rec.seq))
+                chunks.append(np.array([4], dtype=np.uint8))
     if not chunks:
         return np.zeros(0, dtype=np.uint8)
     return np.concatenate(chunks)

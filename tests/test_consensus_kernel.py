@@ -64,6 +64,25 @@ def test_nw_insertion_in_read():
     assert 4 <= anchor <= 8
 
 
+def test_device_mapping_matches_host_traceback():
+    """align_mapping_device must reproduce the host dirs+traceback path."""
+    rng = np.random.default_rng(13)
+    B, S, W = 8, 256, 128
+    reads = rng.integers(0, 4, (B, S)).astype(np.uint8)
+    drafts = reads.copy()
+    # perturb reads with indels/substitutions
+    for b in range(B):
+        for _ in range(10):
+            p = int(rng.integers(0, S - 1))
+            reads[b, p] = rng.integers(0, 4)
+    r_lens = rng.integers(150, 250, B).astype(np.int32)
+    d_lens = (r_lens + rng.integers(-5, 6, B)).astype(np.int32)
+    dirs, base = nw.banded_nw_batch(reads, r_lens, drafts, d_lens, W)
+    m_host = nw.traceback_batch(dirs, base, r_lens, d_lens, S)
+    m_dev = nw.align_mapping_device(reads, r_lens, drafts, d_lens, W)
+    np.testing.assert_array_equal(m_host, m_dev)
+
+
 def test_batched_consensus_identical():
     s = "ACGTTGCAGGACCATAGGACCA"
     out = batched_consensus([[s, s, s]])
