@@ -57,15 +57,32 @@ def run_assembler(
     out_dir: str,
     cfg: AssembleConfig | None = None,
     log=sys.stderr,
+    long_fofn: bool = False,
+    mapping_fofn: bool = False,
 ) -> dict:
     """Full assembler run; returns a stats dict (uniq_freq, edge/contig
-    counts, output path)."""
+    counts, output path).
+
+    ``long_fofn``/``mapping_fofn`` treat the respective paths as
+    file-of-file-names, like the reference's ``--long-fofn``/
+    ``--mapping-fofn`` (Commandline.cpp:140-146, Longread.cpp:164-180,
+    304-320).
+    """
     cfg = cfg or AssembleConfig()
     os.makedirs(out_dir, exist_ok=True)
     t = StageTimer(log)
 
-    t.note("loading contig sequences...")
-    contigs = ContigStore.load_fasta(contig_path)
+    from haslr_tpu.assemble import index_io
+
+    # binary snapshot resume, mirroring main.cpp:39-52
+    contig_idx = f"{out_dir}/index.contig.npz"
+    if os.path.isfile(contig_idx):
+        t.note(f"reading contig index: {contig_idx}...")
+        contigs = index_io.read_contig_index(contig_idx)
+    else:
+        t.note("loading contig sequences...")
+        contigs = ContigStore.load_fasta(contig_path)
+        index_io.write_contig_index(contig_idx, contigs)
     print(f"       loaded {len(contigs)} contigs", file=log)
     t.elapsed()
 
@@ -74,15 +91,40 @@ def run_assembler(
     print(f"       mean: {uniq_freq:.2f}", file=log)
     t.elapsed()
 
-    t.note("loading long read sequences...")
-    lrs = LongreadStore.load_fasta(long_path)
-    print(f"       loaded {len(lrs)} long reads", file=log)
-    t.elapsed()
+    # binary snapshot resume, mirroring main.cpp:65-103
+    lr_idx = f"{out_dir}/index.longread.npz"
+    if os.path.isfile(lr_idx):
+        t.note(f"reading long read and alignment index: {lr_idx}...")
+        lrs, n_aln = index_io.read_longread_index(lr_idx)
+        print(f"       loaded {len(lrs)} long reads", file=log)
+        print(f"       loaded {n_aln} alignments", file=log)
+        t.elapsed()
+    else:
+        from haslr_tpu.core.io import read_fofn
 
-    t.note("loading alignment between contigs and long reads...")
-    n_aln = load_alignments(mapping_path, contigs, lrs, uniq_freq, cfg)
-    print(f"       loaded {n_aln} alignments", file=log)
-    t.elapsed()
+        t.note("loading long read sequences...")
+        if long_fofn:
+            lrs = LongreadStore()
+            for p in read_fofn(long_path):
+                sub = LongreadStore.load_fasta(p)
+                for i in range(len(sub)):
+                    lrs.seqs.add(sub.seqs.get(i))
+                    lrs.alignments.append([])
+        else:
+            lrs = LongreadStore.load_fasta(long_path)
+        print(f"       loaded {len(lrs)} long reads", file=log)
+        t.elapsed()
+
+        t.note("loading alignment between contigs and long reads...")
+        n_aln = 0
+        mapping_paths = (
+            read_fofn(mapping_path) if mapping_fofn else [mapping_path]
+        )
+        for p in mapping_paths:
+            n_aln += load_alignments(p, contigs, lrs, uniq_freq, cfg)
+        print(f"       loaded {n_aln} alignments", file=log)
+        index_io.write_longread_index(lr_idx, lrs)
+        t.elapsed()
 
     t.note("fixing overlapping alignments...")
     fix_alignments(lrs)

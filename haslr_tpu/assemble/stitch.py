@@ -195,6 +195,119 @@ def assemble_single_path(
     return nb_ctg + 1
 
 
+def identify_unused_longreads(graph, path_list, lrs, out_path: str) -> int:
+    """Dump long reads not used by any assembled path
+    (``asm_identify_unused_longreads``, Assemble.cpp:963-1043; its call is
+    disabled in the reference main but the capability ships).  Reads
+    supporting edges of path-end nodes are marked ``tail`` (value 2) —
+    candidates for extending the assembly."""
+    unused = [1] * len(lrs)
+
+    def mark(node_id, value):
+        for rev in (0, 1):
+            for _key, edge in graph[node_id].edges[rev].items():
+                for s in edge.edge_supp:
+                    unused[s.lr_id] = value
+
+    for path in path_list:
+        for node_id, _strand in path:
+            mark(node_id, 0)
+    for path in path_list:
+        mark(path[0][0], 2)
+        mark(path[-1][0], 2)
+    n = 0
+    with open(out_path, "w") as fp:
+        for rid, u in enumerate(unused):
+            if u:
+                tag = " tail" if u == 2 else " "
+                fp.write(f">u{rid}{tag}\n{lrs.get_str(rid)}\n")
+                n += 1
+    return n
+
+
+def _shared_supp_count(supp1, supp2) -> int:
+    """``asm_get_shared_supp`` (Assemble.cpp:812-823)."""
+    return len({s.lr_id for s in supp1} & {s.lr_id for s in supp2})
+
+
+def resolve_4way_paths(graph, path_list):
+    """Merge simple paths through 2-in/2-out nodes when edge-support
+    pairing is decisive (``asm_resolve_4way_nodes`` + ``asm_connect_paths``,
+    Assemble.cpp:825-961; shipped disabled in the reference main).
+
+    Returns a deleted-path mask; surviving merged paths replace their
+    sources in ``path_list`` in place.
+    """
+    deleted = [0] * len(path_list)
+    tails = {}
+    for i, path in enumerate(path_list):
+        tails[(path[0][0], path[0][1])] = (i, 0)
+        tails[(path[-1][0], 1 - path[-1][1])] = (i, 1)
+
+    def connect(middle, in_key, out_key, delete_middle):
+        it_in = tails.get((in_key >> 1, in_key & 1))
+        it_out = tails.get((out_key >> 1, out_key & 1))
+        if it_in is None or it_out is None:
+            return
+        pid1, side1 = it_in
+        pid2, side2 = it_out
+        if pid1 == pid2:
+            deleted[middle] = 1
+            return
+        merged = deque()
+        src = path_list[pid1]
+        if side1 == 0:  # joined at its front: traverse reversed
+            merged.extend((n, 1 - s) for n, s in reversed(src))
+        else:
+            merged.extend(src)
+        merged.extend(path_list[middle])
+        dst = path_list[pid2]
+        if side2 == 0:
+            merged.extend(dst)
+        else:
+            merged.extend((n, 1 - s) for n, s in reversed(dst))
+        for pid in (pid1, pid2):
+            pp = path_list[pid]
+            tails.pop((pp[0][0], pp[0][1]), None)
+            tails.pop((pp[-1][0], 1 - pp[-1][1]), None)
+        if delete_middle:
+            pp = path_list[middle]
+            tails.pop((pp[0][0], pp[0][1]), None)
+            tails.pop((pp[-1][0], 1 - pp[-1][1]), None)
+            deleted[middle] = 1
+        tails[(merged[0][0], merged[0][1])] = (pid1, 0)
+        tails[(merged[-1][0], 1 - merged[-1][1])] = (pid1, 1)
+        path_list[pid1] = merged
+        deleted[pid2] = 1
+
+    for i, path in enumerate(path_list):
+        if deleted[i]:
+            continue
+        node1, strand1 = path[0]
+        node2, strand2 = path[-1]
+        out_map = graph[node2].edges[strand2]
+        in_map = graph[node1].edges[1 - strand1]
+        if len(out_map) != 2 or len(in_map) != 2:
+            continue
+        in1, in2 = in_map.nth_key(0), in_map.nth_key(1)
+        out1, out2 = out_map.nth_key(0), out_map.nth_key(1)
+        s11 = _shared_supp_count(in_map[in1].edge_supp, out_map[out1].edge_supp)
+        s12 = _shared_supp_count(in_map[in1].edge_supp, out_map[out2].edge_supp)
+        s21 = _shared_supp_count(in_map[in2].edge_supp, out_map[out1].edge_supp)
+        s22 = _shared_supp_count(in_map[in2].edge_supp, out_map[out2].edge_supp)
+        if (s11 > 2 * s12 and not s21 > 2 * s22) or (
+            s22 > 2 * s21 and not s12 > 2 * s11
+        ):
+            connect(i, in1, out1, False)
+            connect(i, in2, out2, True)
+        elif (s12 > 2 * s11 and not s22 > 2 * s21) or (
+            s21 > 2 * s22 and not s11 > 2 * s12
+        ):
+            connect(i, in1, out2, False)
+            connect(i, in2, out1, True)
+    return deleted
+
+
 def get_assembly(graph, contigs, out_dir: str, warn=None) -> int:
     """``asm_get_assembly`` (Assemble.cpp:1045-1077): write asm.final.fa,
     asm.final.ann and log_asmfinal.txt.  Returns the output contig count."""

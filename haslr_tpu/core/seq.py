@@ -139,3 +139,17 @@ class SeqStore:
     def offsets(self) -> np.ndarray:
         self._ensure_flat()
         return self._offsets
+
+    @classmethod
+    def from_flat(cls, packed: np.ndarray, offsets: np.ndarray,
+                  lengths: np.ndarray) -> "SeqStore":
+        """Rebuild a store from its flat representation (index loading)."""
+        store = cls()
+        store._packed = np.asarray(packed, dtype=np.uint8)
+        store._offsets = np.asarray(offsets, dtype=np.int64)
+        store.lengths = [int(x) for x in lengths]
+        store._chunks = [
+            store._packed[store._offsets[i] : store._offsets[i + 1]]
+            for i in range(len(store.lengths))
+        ]
+        return store
