@@ -144,8 +144,9 @@ def _one_round(window_codes, drafts, match, mismatch, gap):
         max_b = max(1, (512 << 20) // ((2 * S + 1) * W))
         for lo in range(0, len(pairs), max_b):
             chunk = pairs[lo : lo + max_b]
-            # pad the batch to a power of two so jit shapes stay stable
-            B = 8
+            # pad the batch to a power of two (>= 32: the Pallas DP kernel
+            # groups 32 reads per program) so jit shapes stay stable
+            B = 32
             while B < len(chunk):
                 B *= 2
             reads = np.full((B, S), 4, dtype=np.uint8)

@@ -176,21 +176,28 @@ def nw_scores(reads, r_lens, drafts, d_lens, W=128, match=5, mismatch=-4,
     return jnp.where((r_lens == 0) & (d_lens == 0), 0, best)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _align_mapping(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
-                   gap):
+                   gap, use_pallas=False):
     """DP + traceback entirely on device; returns mapping (B, R) int32.
 
     The direction tensor (T+1, B, W) never leaves the device — essential
     here because device->host bandwidth (~40 MB/s through the TPU relay)
     is the bottleneck, not compute.  The traceback is the same lockstep
     walk as :func:`traceback_batch`, expressed as a fixed-length scan of
-    vectorized gathers/scatters over the read batch.
+    vectorized gathers/scatters over the read batch.  ``use_pallas``
+    selects the hand-scheduled Mosaic kernel for the DP (TPU only).
     """
     B = reads.shape[0]
     T = R + D
-    dirs = _nw_scan_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
-                          mismatch, gap)
+    if use_pallas:
+        from haslr_tpu.kernels.nw_pallas import nw_dirs_pallas
+
+        dirs = nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W,
+                              match, mismatch, gap)
+    else:
+        dirs = _nw_scan_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
+                              mismatch, gap)
     base = jnp.asarray(band_bases(R, D, W))
     bidx = jnp.arange(B)
 
@@ -225,6 +232,10 @@ def _align_mapping(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
     return mapping[:, :R]
 
 
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
 def align_mapping_device(
     reads: np.ndarray,
     r_lens: np.ndarray,
@@ -236,15 +247,18 @@ def align_mapping_device(
     gap: int = -8,
 ) -> np.ndarray:
     """Device-resident align + traceback; returns the (B, R) mapping (see
-    :func:`traceback_batch` for the encoding)."""
+    :func:`traceback_batch` for the encoding).  On TPU the DP runs in the
+    Mosaic kernel (:mod:`haslr_tpu.kernels.nw_pallas`) when the batch fits
+    its 32-read grouping."""
     R = reads.shape[1]
     D = drafts.shape[1]
+    use_pallas = _on_tpu() and reads.shape[0] % 32 == 0 and (R + D + 1) * 32 * W <= 8 << 20
     m = _align_mapping(
         jnp.asarray(reads),
         jnp.asarray(r_lens, dtype=jnp.int32),
         jnp.asarray(drafts),
         jnp.asarray(d_lens, dtype=jnp.int32),
-        R, D, W, match, mismatch, gap,
+        R, D, W, match, mismatch, gap, use_pallas,
     )
     return np.asarray(m)
 
