@@ -1,0 +1,264 @@
+"""Repeat resolution via a long-read overlap graph in compact-anchor space.
+
+Functional equivalent of the reference's experimental ``Graph_repeat.cpp``
+(1.5k LoC shipped but excluded from the build, Makefile:30, main.cpp:11):
+long reads are compared in *anchor space* (their compact chains of SR-
+contig anchors) with an end-gap-free LCS (match 3, indel -1,
+``Graph_repeat.cpp:8-122``), overlapping pairs form a bidirected overlap
+graph (``asm_ovgrpah_add_edge``, :544-618), transitively reducible
+(``asm_ovgraph_transitive_reduction``, :754-820), from which linear read
+paths bridge repeat regions the backbone graph cannot.
+
+Where the reference verifies candidate overlaps at base level through
+minimap2's C API (``asm_is_overlap_spurious``, :341-411), we reuse our own
+banded NW scorer.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+LCS_MATCH = 3
+LCS_INDEL = -1
+
+
+def _chain_keys(chain, reverse: bool):
+    """(t_id, is_rev) anchor keys of a compact chain, optionally as the
+    reverse complement (reversed order, flipped strands)."""
+    if not reverse:
+        return [(a.t_id, a.is_rev) for a in chain]
+    return [(a.t_id, 1 - a.is_rev) for a in reversed(chain)]
+
+
+def lcs_alignment(keys1, keys2):
+    """End-gap-free anchor LCS (``lcs_alignment``, Graph_repeat.cpp:8-122).
+
+    Returns (aln1, aln2, score): parallel index lists with -1 marking gaps.
+    """
+    m, n = len(keys1), len(keys2)
+    lcs = np.zeros((m + 1, n + 1), dtype=np.int32)
+    bt = np.full((m + 1, n + 1), b"L", dtype="S1")
+    bt[:, 0] = b"U"
+    bt[0, :] = b"L"
+    for i in range(1, m + 1):
+        k1 = keys1[i - 1]
+        for j in range(1, n + 1):
+            if k1 == keys2[j - 1]:
+                lcs[i][j] = lcs[i - 1][j - 1] + LCS_MATCH
+                bt[i][j] = b"D"
+            elif lcs[i - 1][j] > lcs[i][j - 1]:
+                lcs[i][j] = lcs[i - 1][j] + LCS_INDEL
+                bt[i][j] = b"U"
+            else:
+                lcs[i][j] = lcs[i][j - 1] + LCS_INDEL
+                bt[i][j] = b"L"
+    # free end gaps (Graph_repeat.cpp:58-75)
+    for i in range(m):
+        if lcs[i][n] > lcs[i + 1][n]:
+            lcs[i + 1][n] = lcs[i][n]
+            bt[i + 1][n] = b"U"
+    for j in range(n):
+        if lcs[m][j] > lcs[m][j + 1]:
+            lcs[m][j + 1] = lcs[m][j]
+            bt[m][j + 1] = b"L"
+    score = int(lcs[m][n])
+    aln1, aln2 = [], []
+    i, j = m, n
+    while i > 0 or j > 0:
+        d = bt[i][j]
+        if d == b"L":
+            aln1.append(-1)
+            aln2.append(j - 1)
+            j -= 1
+        elif d == b"U":
+            aln1.append(i - 1)
+            aln2.append(-1)
+            i -= 1
+        else:
+            aln1.append(i - 1)
+            aln2.append(j - 1)
+            i -= 1
+            j -= 1
+    aln1.reverse()
+    aln2.reverse()
+    return aln1, aln2, score
+
+
+def overlap_type(aln1, aln2):
+    """Classify the overlap from the end-gap pattern.
+
+    Returns one of 'contained1' (lr1 inside lr2), 'contained2',
+    'dovetail12' (suffix of lr1 overlaps prefix of lr2), 'dovetail21',
+    or 'internal' (not a proper overlap).  Mirrors the role of
+    ``asm_get_overlap_type`` (Graph_repeat.cpp:528-542).
+    """
+    # column types: aln2 == -1 -> lr1-only column (lr1 sticks out there)
+    ov1_front = aln2[0] == -1
+    ov2_front = aln1[0] == -1
+    ov1_back = aln2[-1] == -1
+    ov2_back = aln1[-1] == -1
+    if not ov1_front and not ov1_back:
+        return "contained1"  # lr1 lies inside lr2
+    if not ov2_front and not ov2_back:
+        return "contained2"
+    if ov1_front and ov2_back:
+        return "dovetail12"  # suffix of lr1 overlaps prefix of lr2
+    if ov2_front and ov1_back:
+        return "dovetail21"
+    return "internal"
+
+
+@dataclass
+class OvEdge:
+    is_transitive: int = 0
+    aln1: list = field(default_factory=list)
+    aln2: list = field(default_factory=list)
+
+
+@dataclass
+class OvNode:
+    out: dict = field(default_factory=dict)      # key (lr2<<1)|rev2
+    out_rev: dict = field(default_factory=dict)
+    is_contained: bool = False
+
+
+def candidate_pairs(compact_lr_list, restrict_to=None):
+    """Read pairs sharing at least one anchor contig (bucket by t_id)."""
+    by_contig = defaultdict(list)
+    for rid, chain in enumerate(compact_lr_list):
+        if restrict_to is not None and not restrict_to[rid]:
+            continue
+        for a in chain:
+            by_contig[a.t_id].append(rid)
+    pairs = set()
+    for rids in by_contig.values():
+        uniq = sorted(set(rids))
+        for x in range(len(uniq)):
+            for y in range(x + 1, len(uniq)):
+                pairs.add((uniq[x], uniq[y]))
+    return sorted(pairs)
+
+
+def _min_match_anchors(aln1, aln2):
+    return sum(1 for a, b in zip(aln1, aln2) if a != -1 and b != -1)
+
+
+def build_overlap_graph(
+    compact_lr_list,
+    restrict_to=None,
+    min_anchors: int = 2,
+    min_score: int = 2 * LCS_MATCH,
+):
+    """Anchor-space overlap graph over (a subset of) the long reads.
+
+    Follows the reference's structure (``asm_build_ovgraph_from_unused_lrs``
+    Graph_repeat.cpp:1204+): LCS every candidate pair in both relative
+    orientations, keep proper dovetails/containments, add bidirected edges.
+    """
+    n = len(compact_lr_list)
+    graph = [OvNode() for _ in range(n)]
+    for lr1, lr2 in candidate_pairs(compact_lr_list, restrict_to):
+        k1 = _chain_keys(compact_lr_list[lr1], False)
+        best = None
+        for rev2 in (0, 1):
+            k2 = _chain_keys(compact_lr_list[lr2], bool(rev2))
+            aln1, aln2, score = lcs_alignment(k1, k2)
+            if best is None or score > best[2]:
+                best = (aln1, aln2, score, rev2)
+        aln1, aln2, score, rev2 = best
+        if score < min_score:
+            continue
+        if _min_match_anchors(aln1, aln2) < min_anchors:
+            continue
+        ot = overlap_type(aln1, aln2)
+        if ot == "contained1":
+            graph[lr1].is_contained = True
+            continue
+        if ot == "contained2":
+            graph[lr2].is_contained = True
+            continue
+        if ot == "internal":
+            continue
+        inv1 = list(reversed(aln1))
+        inv2 = list(reversed(aln2))
+        if ot == "dovetail12":
+            _add_edge(graph, lr1, 0, lr2, rev2, aln1, aln2, inv1, inv2)
+        else:  # dovetail21: lr2 -> lr1
+            _add_edge(graph, lr2, rev2, lr1, 0, aln2, aln1, inv2, inv1)
+    return graph
+
+
+def _add_edge(graph, lr1, rev1, lr2, rev2, aln1, aln2, inv1, inv2):
+    """Bidirected edge + twin (``asm_ovgrpah_add_edge``,
+    Graph_repeat.cpp:544-618)."""
+    if graph[lr1].is_contained or graph[lr2].is_contained:
+        return
+    side1 = graph[lr1].out if rev1 == 0 else graph[lr1].out_rev
+    side1[(lr2 << 1) | rev2] = OvEdge(0, aln1, aln2)
+    # twin: lr2 traversed opposite
+    if rev2 == 0:
+        graph[lr2].out_rev[(lr1 << 1) | (1 - rev1)] = OvEdge(0, inv2, inv1)
+    else:
+        graph[lr2].out[(lr1 << 1) | (1 - rev1)] = OvEdge(0, inv2, inv1)
+
+
+def transitive_reduction(graph):
+    """Mark transitive edges (Myers-style,
+    ``asm_ovgraph_transitive_reduction``, Graph_repeat.cpp:754-820): an
+    edge a->c is transitive when some a->b and b->c exist."""
+    n_marked = 0
+    for i, node in enumerate(graph):
+        for side in (node.out, node.out_rev):
+            targets = set(side.keys())
+            for key in targets:
+                b, rev_b = key >> 1, key & 1
+                b_side = graph[b].out if rev_b == 0 else graph[b].out_rev
+                for key2 in b_side:
+                    if key2 in targets and key2 != key:
+                        if not side[key2].is_transitive:
+                            side[key2].is_transitive = 1
+                            n_marked += 1
+    return n_marked
+
+
+def extract_read_paths(graph):
+    """Linear read paths over non-transitive edges
+    (``asm_ovgraph_get_paths``, Graph_repeat.cpp:917+ simplified):
+    follow unique non-transitive out-edges from unbranched starts."""
+
+    def live_edges(node, rev):
+        side = node.out if rev == 0 else node.out_rev
+        return [(k >> 1, k & 1) for k, e in side.items()
+                if not e.is_transitive]
+
+    n = len(graph)
+    indeg = defaultdict(int)
+    for i, node in enumerate(graph):
+        for rev in (0, 1):
+            for nxt, nrev in live_edges(node, rev):
+                indeg[(nxt, nrev)] += 1
+    visited = set()
+    paths = []
+    for i in range(n):
+        if graph[i].is_contained:
+            continue
+        for rev in (0, 1):
+            outs = live_edges(graph[i], rev)
+            if len(outs) != 1 or indeg[(i, rev)] > 0 or i in visited:
+                continue
+            path = [(i, rev)]
+            visited.add(i)
+            curr, crev = outs[0]
+            while curr not in visited:
+                path.append((curr, crev))
+                visited.add(curr)
+                nxt = live_edges(graph[curr], crev)
+                if len(nxt) != 1:
+                    break
+                curr, crev = nxt[0]
+            if len(path) > 1:
+                paths.append(path)
+    return paths

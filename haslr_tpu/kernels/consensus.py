@@ -43,78 +43,141 @@ def _band_width(S: int) -> int:
     return 512
 
 
-def _pileup_consensus(
-    draft_codes: np.ndarray,
-    read_codes: list[np.ndarray],
-    mappings: list[np.ndarray],
-) -> np.ndarray:
-    """Vote a consensus from per-read draft-position mappings."""
-    D = len(draft_codes)
-    counts = np.zeros((D, 4), dtype=np.int32)
-    cov = np.zeros(D + 1, dtype=np.int32)
-    ins1 = np.zeros((D + 1, 4), dtype=np.int32)  # index a+1: after draft a
-    ins2 = np.zeros((D + 1, 4), dtype=np.int32)
-    n_reads = 0
-    for codes, m in zip(read_codes, mappings):
-        L = len(codes)
-        mm = m[:L]
-        aligned = mm >= 0
-        if not aligned.any():
-            continue
-        n_reads += 1
-        pos = mm[aligned]
-        np.add.at(counts, (pos, codes[aligned]), 1)
-        jmin, jmax = pos.min(), pos.max()
-        cov[jmin] += 1
-        cov[jmax + 1] -= 1
-        # insertions: anchor a = -m - 3; rank within each run
-        ins = mm <= -2
-        if ins.any():
-            anchors = -mm - 3
-            idx = np.arange(L)
-            start = ins & np.concatenate(
-                [[True], (~ins[:-1]) | (anchors[1:] != anchors[:-1])]
-            )
-            last_start = np.maximum.accumulate(np.where(start, idx, -1))
-            rank = idx - last_start
-            sel1 = ins & (rank == 0)
-            sel2 = ins & (rank == 1)
-            np.add.at(ins1, (anchors[sel1] + 1, codes[sel1]), 1)
-            np.add.at(ins2, (anchors[sel2] + 1, codes[sel2]), 1)
-    if n_reads == 0:
-        return draft_codes
-    coverage = np.cumsum(cov[:-1])
-    base_sum = counts.sum(axis=1)
-    base_best = counts.argmax(axis=1)
-    base_best_cnt = counts[np.arange(D), base_best]
-    # prefer the draft base on ties
-    draft_cnt = counts[np.arange(D), draft_codes]
-    keep_draft = draft_cnt == base_best_cnt
-    base_call = np.where(keep_draft, draft_codes, base_best)
-    del_votes = coverage - base_sum
-    emit_base = base_best_cnt > del_votes
+class _Pileup:
+    """Batched pileup accumulator over all windows at once.
 
-    ins1_sum = ins1.sum(axis=1)
-    ins2_sum = ins2.sum(axis=1)
-    cov_at = np.concatenate([coverage[:1], coverage])  # cov before pos p
-    emit_ins1 = ins1_sum * 2 > np.maximum(cov_at, 1)
-    emit_ins2 = ins2_sum * 2 > np.maximum(cov_at, 1)
-    ins1_best = ins1.argmax(axis=1)
-    ins2_best = ins2.argmax(axis=1)
+    Per-window count tables live concatenated in flat arrays indexed by
+    per-window draft offsets, so every scatter is one ``np.add.at`` over a
+    whole (B, S) chunk — no per-window or per-read Python loops.
+    """
 
-    out = []
-    if emit_ins1[0]:
-        out.append(ins1_best[0])
-        if emit_ins2[0]:
-            out.append(ins2_best[0])
-    for p in range(D):
-        if emit_base[p]:
-            out.append(base_call[p])
-        if emit_ins1[p + 1]:
-            out.append(ins1_best[p + 1])
-            if emit_ins2[p + 1]:
-                out.append(ins2_best[p + 1])
-    return np.array(out, dtype=np.uint8)
+    def __init__(self, drafts: list[np.ndarray]):
+        self.d_lens = np.array([len(d) for d in drafts], dtype=np.int64)
+        # offsets into the base-count table (D per window) and the
+        # insertion/coverage tables (D+1 per window)
+        self.off = np.concatenate([[0], np.cumsum(self.d_lens)])
+        self.off1 = np.concatenate([[0], np.cumsum(self.d_lens + 1)])
+        total = int(self.off[-1])
+        total1 = int(self.off1[-1])
+        self.counts = np.zeros((total, 4), dtype=np.int32)
+        self.cov_diff = np.zeros(total1 + 1, dtype=np.int32)
+        self.ins1 = np.zeros((total1, 4), dtype=np.int32)
+        self.ins2 = np.zeros((total1, 4), dtype=np.int32)
+        self.n_reads = np.zeros(len(drafts), dtype=np.int64)
+
+    def add_chunk(self, mapping: np.ndarray, reads: np.ndarray,
+                  r_lens: np.ndarray, win_idx: np.ndarray):
+        """mapping/reads: (B, S) arrays; win_idx: window id per row."""
+        B, S = mapping.shape
+        col = np.arange(S)[None, :]
+        in_len = col < r_lens[:, None]
+        aligned = (mapping >= 0) & in_len
+        m64 = mapping.astype(np.int64)
+        woff = self.off[win_idx][:, None]
+        woff1 = self.off1[win_idx][:, None]
+        # base votes
+        np.add.at(
+            self.counts,
+            ((woff + m64)[aligned], reads[aligned].astype(np.int64)),
+            1,
+        )
+        # coverage spans (rows with no aligned base contribute nothing)
+        any_aligned = aligned.any(axis=1)
+        big = np.where(aligned, m64, np.int64(1 << 40))
+        small = np.where(aligned, m64, np.int64(-1))
+        jmin = big.min(axis=1)[any_aligned]
+        jmax = small.max(axis=1)[any_aligned]
+        w1 = self.off1[win_idx[any_aligned]]
+        np.add.at(self.cov_diff, w1 + jmin, 1)
+        np.add.at(self.cov_diff, w1 + jmax + 1, -1)
+        np.add.at(self.n_reads, win_idx[any_aligned], 1)
+        # insertions: anchor a = -m - 3, ranked within runs (per row)
+        ins = (mapping <= -2) & in_len
+        anchors = (-m64 - 3)
+        prev_ins = np.concatenate(
+            [np.zeros((B, 1), bool), ins[:, :-1]], axis=1
+        )
+        prev_anchor = np.concatenate(
+            [np.full((B, 1), -9, np.int64), anchors[:, :-1]], axis=1
+        )
+        start = ins & (~prev_ins | (anchors != prev_anchor))
+        idx = np.broadcast_to(col, (B, S))
+        last_start = np.maximum.accumulate(np.where(start, idx, -1), axis=1)
+        rank = idx - last_start
+        row_ok = any_aligned[:, None]
+        sel1 = ins & (rank == 0) & row_ok
+        sel2 = ins & (rank == 1) & row_ok
+        np.add.at(
+            self.ins1,
+            ((woff1 + anchors + 1)[sel1], reads[sel1].astype(np.int64)),
+            1,
+        )
+        np.add.at(
+            self.ins2,
+            ((woff1 + anchors + 1)[sel2], reads[sel2].astype(np.int64)),
+            1,
+        )
+
+    def vote(self, drafts: list[np.ndarray]) -> list[np.ndarray]:
+        """Emit the voted consensus per window (vectorized)."""
+        draft_flat = (
+            np.concatenate(drafts) if drafts else np.zeros(0, np.uint8)
+        )
+        total = len(draft_flat)
+        coverage = np.cumsum(self.cov_diff[:-1])  # over off1 layout
+        base_sum = self.counts.sum(axis=1)
+        base_best = self.counts.argmax(axis=1)
+        rows = np.arange(total)
+        base_best_cnt = self.counts[rows, base_best]
+        draft_cnt = self.counts[rows, draft_flat]
+        base_call = np.where(
+            draft_cnt == base_best_cnt, draft_flat, base_best
+        ).astype(np.uint8)
+        # per-position coverage: position p of window w is coverage at
+        # off1[w] + p (cumsum over the diff array within the window)
+        pos_in_win = rows - np.repeat(self.off[:-1], np.diff(self.off))
+        win_of_row = np.repeat(
+            np.arange(len(self.d_lens)), np.diff(self.off)
+        )
+        cov_at_base = coverage[self.off1[win_of_row] + pos_in_win]
+        emit_base = base_best_cnt > (cov_at_base - base_sum)
+
+        ins1_sum = self.ins1.sum(axis=1)
+        ins2_sum = self.ins2.sum(axis=1)
+        # coverage "before" slot a+1 mirrors the original per-window rule
+        rows1 = np.arange(len(ins1_sum))
+        pos1 = rows1 - np.repeat(self.off1[:-1], np.diff(self.off1))
+        win1 = np.repeat(np.arange(len(self.d_lens)), np.diff(self.off1))
+        cov_prev = coverage[self.off1[win1] + np.maximum(pos1 - 1, 0)]
+        emit_ins1 = ins1_sum * 2 > np.maximum(cov_prev, 1)
+        emit_ins2 = (ins2_sum * 2 > np.maximum(cov_prev, 1)) & emit_ins1
+        ins1_best = self.ins1.argmax(axis=1).astype(np.uint8)
+        ins2_best = self.ins2.argmax(axis=1).astype(np.uint8)
+
+        out = []
+        for w, d in enumerate(drafts):
+            if self.n_reads[w] == 0:
+                out.append(d)
+                continue
+            Dw = len(d)
+            b0, b1 = self.off[w], self.off[w + 1]
+            i0, i1 = self.off1[w], self.off1[w + 1]
+            # slot order per window: ins1[0], ins2[0], then for each p:
+            # base[p], ins1[p+1], ins2[p+1]
+            vals = np.empty(2 + 3 * Dw, dtype=np.uint8)
+            keep = np.zeros(2 + 3 * Dw, dtype=bool)
+            vals[0] = ins1_best[i0]
+            keep[0] = emit_ins1[i0]
+            vals[1] = ins2_best[i0]
+            keep[1] = emit_ins2[i0]
+            vals[2::3] = base_call[b0:b1]
+            keep[2::3] = emit_base[b0:b1]
+            vals[3::3] = ins1_best[i0 + 1 : i1]
+            keep[3::3] = emit_ins1[i0 + 1 : i1]
+            vals[4::3] = ins2_best[i0 + 1 : i1]
+            keep[4::3] = emit_ins2[i0 + 1 : i1]
+            out.append(vals[keep])
+        return out
 
 
 def _one_round(window_codes, drafts, match, mismatch, gap):
@@ -137,10 +200,10 @@ def _one_round(window_codes, drafts, match, mismatch, gap):
             if len(c) == 0 or len(c) > S:
                 continue
             jobs.setdefault(S, []).append((wi, ri))
-    per_window_maps = [dict() for _ in window_codes]
+    pile = _Pileup(drafts)
     for S, pairs in sorted(jobs.items()):
         W = _band_width(S)
-        # cap batch so the direction tensor stays modest (< ~512 MB)
+        # cap batch so the on-device direction tensor stays modest
         max_b = max(1, (512 << 20) // ((2 * S + 1) * W))
         for lo in range(0, len(pairs), max_b):
             chunk = pairs[lo : lo + max_b]
@@ -153,6 +216,7 @@ def _one_round(window_codes, drafts, match, mismatch, gap):
             dr = np.full((B, S), 4, dtype=np.uint8)
             r_lens = np.zeros(B, dtype=np.int32)
             d_lens = np.zeros(B, dtype=np.int32)
+            win_idx = np.zeros(B, dtype=np.int64)
             for k, (wi, ri) in enumerate(chunk):
                 c = window_codes[wi][ri]
                 d = drafts[wi]
@@ -160,23 +224,14 @@ def _one_round(window_codes, drafts, match, mismatch, gap):
                 dr[k, : len(d)] = d
                 r_lens[k] = len(c)
                 d_lens[k] = len(d)
+                win_idx[k] = wi
             # device-resident DP + traceback: only the compact (B, S)
-            # mapping crosses the (slow) device->host link
+            # int16 mapping crosses the (slow) device->host link
             mapping = nw.align_mapping_device(
                 reads, r_lens, dr, d_lens, W, match, mismatch, gap
             )
-            for k, (wi, ri) in enumerate(chunk):
-                per_window_maps[wi][ri] = mapping[k]
-    new_drafts = []
-    for wi, (codes_list, draft) in enumerate(zip(window_codes, drafts)):
-        maps = per_window_maps[wi]
-        if not maps:
-            new_drafts.append(draft)
-            continue
-        read_codes = [codes_list[ri] for ri in sorted(maps)]
-        mappings = [maps[ri] for ri in sorted(maps)]
-        new_drafts.append(_pileup_consensus(draft, read_codes, mappings))
-    return new_drafts
+            pile.add_chunk(mapping, reads, r_lens, win_idx)
+    return pile.vote(drafts)
 
 
 def batched_consensus(

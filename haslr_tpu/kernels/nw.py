@@ -229,7 +229,8 @@ def _align_mapping(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
         None,
         length=T,
     )
-    return mapping[:, :R]
+    # int16 halves the device->host transfer; positions fit for D <= 32k
+    return mapping[:, :R].astype(jnp.int16)
 
 
 def _on_tpu() -> bool:
