@@ -70,13 +70,20 @@ def chain_to_cigar(
     q_anchor: np.ndarray,
     t_anchor: np.ndarray,
     k: int,
+    exact_anchors: bool = True,
 ):
     """CIGAR over [q_anchor[0], q_anchor[-1]+k) x [t_anchor[0], ...+k).
 
-    Anchors are exact k-mer matches in increasing query/target order;
-    incompatible anchors (overlapping on one axis but not the other) are
-    dropped on the fly.  Returns (ops, lens, n_match) where n_match counts
-    equal-base columns (the PAF col-10 statistic).
+    ``exact_anchors=True``: anchors are exact k-base matches in original
+    coordinates (plain minimizers) — diagonal stretches become M runs and
+    only off-diagonal gaps are NW-aligned.  ``False``: anchors match only
+    in homopolymer-compressed space (the pacbio ``-H`` preset), so their
+    original-coordinate spans differ between query and target; anchors are
+    treated as chain guide *points* and every segment, anchors included,
+    goes through NW.
+
+    Returns (ops, lens, n_match) where n_match counts equal-base columns
+    (the PAF col-10 statistic).
     """
     ops_list = []
     lens_list = []
@@ -92,7 +99,7 @@ def chain_to_cigar(
         dq, dt = q2 - cq, t2 - ct
         if dq <= 0 or dt <= 0:
             continue  # dominated anchor
-        if dq == dt:
+        if dq == dt and exact_anchors:
             emit(
                 np.array([ccigar.M], np.uint8),
                 np.array([dq], np.int64),
@@ -101,7 +108,7 @@ def chain_to_cigar(
                 np.sum(q_codes[cq : cq + dq] == t_codes[ct : ct + dq])
             )
             cq, ct = q2, t2
-        else:
+        elif exact_anchors:
             if dq < k or dt < k:
                 continue  # overlap inconsistent with an indel; skip anchor
             emit(
@@ -115,10 +122,24 @@ def chain_to_cigar(
             emit(o, l)
             n_match += ne
             cq, ct = q2, t2
-    emit(np.array([ccigar.M], np.uint8), np.array([k], np.int64))
-    n_match += int(
-        np.sum(q_codes[cq : cq + k] == t_codes[ct : ct + k])
-    )
+        else:
+            o, l, ne = nw_cigar(q_codes[cq:q2], t_codes[ct:t2])
+            emit(o, l)
+            n_match += ne
+            cq, ct = q2, t2
+    # the final anchor's k compressed bases span >= k original bases; NW the
+    # k-base tail so both coordinates stay cigar-consistent
+    if exact_anchors:
+        emit(np.array([ccigar.M], np.uint8), np.array([k], np.int64))
+        n_match += int(
+            np.sum(q_codes[cq : cq + k] == t_codes[ct : ct + k])
+        )
+    else:
+        qe = min(cq + k, len(q_codes))
+        te = min(ct + k, len(t_codes))
+        o, l, ne = nw_cigar(q_codes[cq:qe], t_codes[ct:te])
+        emit(o, l)
+        n_match += ne
     ops = np.concatenate(ops_list)
     lens = np.concatenate(lens_list)
     return ccigar.normalize(ops, lens) + (n_match,)

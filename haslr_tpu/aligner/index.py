@@ -34,7 +34,7 @@ class MinimizerIndex:
         hs, cids, ps, ss = [], [], [], []
         lens = np.array([len(c) for c in contig_codes], dtype=np.int64)
         for cid, codes in enumerate(contig_codes):
-            h, p, s = mz.minimizers(codes, k, w, hpc)
+            h, p, _e, s = mz.minimizers(codes, k, w, hpc)
             hs.append(h)
             ps.append(p)
             ss.append(s)

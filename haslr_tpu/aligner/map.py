@@ -43,7 +43,7 @@ def collect_anchors(idx: MinimizerIndex, codes: np.ndarray):
     conversion back to original read coordinates happens at PAF emission.
     """
     rlen = len(codes)
-    h, qp, qs = mz.minimizers(codes, idx.k, idx.w, idx.hpc)
+    h, qp, qe, qs = mz.minimizers(codes, idx.k, idx.w, idx.hpc)
     lo, hi = idx.lookup(h)
     occ = hi - lo
     out = {}
@@ -57,7 +57,9 @@ def collect_anchors(idx: MinimizerIndex, codes: np.ndarray):
             if rel == 0:
                 q = int(qp[a])
             else:
-                q = rlen - int(qp[a]) - idx.k
+                # on the revcomp read the k-mer starts at rlen - end; under
+                # HPC the span exceeds k, so the true end matters
+                q = rlen - int(qe[a])
             out.setdefault((cid, rel), []).append((t, q))
     return out
 
@@ -116,7 +118,8 @@ def map_read(
         order = np.argsort(t_arr, kind="stable")
         t_arr, q_arr = t_arr[order], q_arr[order]
         ops, lens, n_match = chain_to_cigar(
-            q_codes, t_codes, q_arr, t_arr, idx.k
+            q_codes, t_codes, q_arr, t_arr, idx.k,
+            exact_anchors=not idx.hpc,
         )
         q_beg = int(q_arr[0])
         q_end = q_beg + ccigar.query_len(ops, lens)

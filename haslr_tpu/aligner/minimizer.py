@@ -62,18 +62,22 @@ def minimizers(
 ):
     """Extract (w,k)-minimizers.
 
-    Returns (hashes uint64, positions int64, strands uint8): ``positions``
-    are start coordinates of the k-mer in the *original* sequence;
-    ``strand`` is 1 when the reverse-complement orientation won the
-    canonical hash.
+    Returns (hashes uint64, positions int64, ends int64, strands uint8):
+    ``positions``/``ends`` are the start and one-past-end coordinates of
+    the k-mer in the *original* sequence — under homopolymer compression a
+    k-mer spans more than k original bases, and reverse-strand coordinate
+    transforms need the true end; ``strand`` is 1 when the reverse-
+    complement orientation won the canonical hash.
     """
+    orig_len = len(codes)
     pos_map = None
     if hpc:
         codes, pos_map = hpc_compress(codes)
     n = len(codes)
     if n < k:
         z = np.zeros(0, dtype=np.uint64)
-        return z, np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
+        zi = np.zeros(0, dtype=np.int64)
+        return z, zi, zi.copy(), np.zeros(0, dtype=np.uint8)
     fwd = kmer_codes(codes, k)
     rev = revcomp_kmer_codes(fwd, k)
     strand = (rev < fwd).astype(np.uint8)
@@ -91,6 +95,9 @@ def minimizers(
         idx = np.unique(idx)
     sel = idx[h[idx] != MASK64]
     positions = sel.astype(np.int64)
+    ends = positions + k
     if pos_map is not None:
+        full_map = np.concatenate([pos_map, [orig_len]])
+        ends = full_map[positions + k]
         positions = pos_map[positions]
-    return h[sel], positions, strand[sel]
+    return h[sel], positions, ends, strand[sel]

@@ -224,6 +224,87 @@ def transitive_reduction(graph):
     return n_marked
 
 
+def map_read_to_path(chain, path_nodes, reverse: bool = False):
+    """LCS of a compact read chain against a simple path's anchor sequence
+    (functional equivalent of ``Align_LR2path.cpp:16-356``: map LRs onto
+    simple paths via compact-space LCS).
+
+    ``path_nodes`` is a list of (contig_id, strand) pairs.  Returns
+    (aln_read, aln_path, score).
+    """
+    k1 = _chain_keys(chain, reverse)
+    k2 = [(int(n), int(s)) for n, s in path_nodes]
+    return lcs_alignment(k1, k2)
+
+
+def bridge_simple_paths(
+    path_list,
+    compact_lr_list,
+    used_mask=None,
+    min_support: int = 2,
+    min_anchors: int = 2,
+):
+    """Find read-supported joins between simple-path ends.
+
+    The capability of the reference's ``Align_LR2path.cpp:510+`` (bridge
+    simple paths through repeat regions): every read is LCS-mapped against
+    candidate paths in both orientations; a read whose alignment dovetails
+    off the end of one path and onto the start of another supports the
+    join (end_a -> start_b).  Returns a list of
+    ``((path_a, side_a), (path_b, side_b), support)`` sorted by support —
+    side 0 joins at the path's start, 1 at its end.
+    """
+    # index paths by member contig for candidate lookup
+    by_contig = defaultdict(set)
+    for pi, path in enumerate(path_list):
+        for n, _s in path:
+            by_contig[int(n)].add(pi)
+    votes = defaultdict(int)
+    for rid, chain in enumerate(compact_lr_list):
+        if used_mask is not None and used_mask[rid]:
+            continue
+        if len(chain) < min_anchors:
+            continue
+        cands = set()
+        for a in chain:
+            cands |= by_contig.get(a.t_id, set())
+        if len(cands) < 2:
+            continue
+        # find paths this read dovetails with, per orientation
+        hits = []  # (path_idx, 'prefix'|'suffix' of the READ that matched)
+        for pi in cands:
+            best = None
+            for rev in (False, True):
+                a1, a2, score = map_read_to_path(chain, path_list[pi], rev)
+                if best is None or score > best[2]:
+                    best = (a1, a2, score, rev)
+            a1, a2, score, rev = best
+            if _min_match_anchors(a1, a2) < min_anchors:
+                continue
+            ot = overlap_type(a1, a2)
+            if ot == "dovetail12":
+                # read suffix overlaps path prefix: join at path start
+                hits.append((pi, 0, "suffix"))
+            elif ot == "dovetail21":
+                hits.append((pi, 1, "prefix"))
+            elif ot == "contained2":
+                # whole path inside the read: both ends reachable
+                hits.append((pi, 0, "suffix"))
+                hits.append((pi, 1, "prefix"))
+        # a read bridging (end of path A) -> (start of path B)
+        ends = [(pi, side) for pi, side, part in hits if side == 1]
+        starts = [(pi, side) for pi, side, part in hits if side == 0]
+        for pa, _ in ends:
+            for pb, _ in starts:
+                if pa != pb:
+                    votes[((pa, 1), (pb, 0))] += 1
+    bridges = [
+        (a, b, n) for (a, b), n in votes.items() if n >= min_support
+    ]
+    bridges.sort(key=lambda x: -x[2])
+    return bridges
+
+
 def extract_read_paths(graph):
     """Linear read paths over non-transitive edges
     (``asm_ovgraph_get_paths``, Graph_repeat.cpp:917+ simplified):

@@ -20,18 +20,18 @@ def test_minimizers_deterministic_and_strand_symmetric():
     rng = np.random.default_rng(0)
     s = _rand_seq(rng, 500)
     codes = cseq.encode(s)
-    h1, p1, s1 = mz.minimizers(codes, 15, 10)
-    h2, p2, s2 = mz.minimizers(codes, 15, 10)
+    h1, p1, e1, s1 = mz.minimizers(codes, 15, 10)
+    h2, p2, e2, s2 = mz.minimizers(codes, 15, 10)
     np.testing.assert_array_equal(h1, h2)
     # reverse complement picks the same canonical hashes
-    h3, p3, s3 = mz.minimizers(cseq.revcomp_codes(codes), 15, 10)
+    h3, p3, e3, s3 = mz.minimizers(cseq.revcomp_codes(codes), 15, 10)
     assert set(map(int, h1)) == set(map(int, h3))
 
 
 def test_minimizers_density():
     rng = np.random.default_rng(1)
     codes = cseq.encode(_rand_seq(rng, 10000))
-    h, p, s = mz.minimizers(codes, 15, 10)
+    h, p, e, s = mz.minimizers(codes, 15, 10)
     # expected density ~ 2/(w+1)
     assert 0.1 < len(h) / 10000 < 0.3
     assert (np.diff(p) > 0).all()

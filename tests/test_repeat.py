@@ -62,6 +62,34 @@ def test_overlap_graph_paths():
     assert ids == [0, 1, 2] or ids == [2, 1, 0]
 
 
+def test_map_read_to_path():
+    ch = chain((2, 0), (3, 0), (4, 0))
+    path = [(1, 0), (2, 0), (3, 0), (4, 0), (5, 0)]
+    a1, a2, score = repeat.map_read_to_path(ch, path)
+    assert score == 3 * repeat.LCS_MATCH
+    assert repeat.overlap_type(a1, a2) == "contained1"
+
+
+def test_bridge_simple_paths():
+    """Reads spanning the junction of two paths vote for the join."""
+    path_a = [(1, 0), (2, 0), (3, 0)]
+    path_b = [(7, 0), (8, 0), (9, 0)]
+    # bridging reads need >= 2 anchors on each side of the junction
+    bridging = [
+        chain((2, 0), (3, 0), (7, 0), (8, 0)),
+        chain((2, 0), (3, 0), (7, 0), (8, 0), (9, 0)),
+        chain((1, 0), (2, 0), (3, 0), (7, 0), (8, 0)),
+    ]
+    bridges = repeat.bridge_simple_paths(
+        [path_a, path_b], bridging, min_support=2
+    )
+    assert bridges
+    (pa, sa), (pb, sb), n = bridges[0]
+    assert (pa, sa) == (0, 1)   # end of path A
+    assert (pb, sb) == (1, 0)   # start of path B
+    assert n >= 2
+
+
 def test_overlap_graph_reverse_orientation():
     """A read in opposite orientation still overlaps (rev2=1 LCS)."""
     fwd = chain((1, 0), (2, 0), (3, 0))
