@@ -16,10 +16,19 @@ from haslr_tpu.core import cigar as ccigar
 NEG = -(10**9)
 
 
-def nw_cigar(a: np.ndarray, b: np.ndarray, match=2, mismatch=-4, gap=-2):
-    """Global alignment of two code arrays; returns (ops, lens, n_eq).
+NEG_H = -(10**12)
+
+
+def nw_cigar(a: np.ndarray, b: np.ndarray, match=2, mismatch=-4, gap=-2,
+             band=64):
+    """Banded global alignment of two code arrays; returns (ops, lens,
+    n_eq).
 
     ``a`` plays the query (I consumes a), ``b`` the target (D consumes b).
+    The band follows the main diagonal with half-width ``band`` plus the
+    length difference, so it is exact whenever the optimal path drifts
+    less than ``band`` off-diagonal (and fully exact when the band covers
+    the whole matrix).
     """
     la, lb = len(a), len(b)
     if la == 0 and lb == 0:
@@ -28,40 +37,241 @@ def nw_cigar(a: np.ndarray, b: np.ndarray, match=2, mismatch=-4, gap=-2):
         return (np.array([ccigar.D], np.uint8), np.array([lb], np.int64), 0)
     if lb == 0:
         return (np.array([ccigar.I], np.uint8), np.array([la], np.int64), 0)
-    jj = np.arange(lb + 1, dtype=np.int64)
-    H = np.empty((la + 1, lb + 1), dtype=np.int64)
-    H[0] = gap * jj
+    W = min(lb + 1, abs(la - lb) + 2 * band + 1)
+    # row i covers columns [offs[i], offs[i] + W)
+    offs = np.clip(
+        (np.arange(la + 1) * lb) // la - W // 2, 0, max(0, lb + 1 - W)
+    )
+    ks = np.arange(W, dtype=np.int64)
+    H = np.empty((la + 1, W), dtype=np.int64)
+    j0 = offs[0] + ks  # == ks
+    H[0] = np.where(j0 <= lb, gap * j0, NEG_H)
+    pad = np.full(W + 2, NEG_H, dtype=np.int64)
     for i in range(1, la + 1):
-        sub = np.where(b == a[i - 1], match, mismatch)
-        tmp = np.empty(lb + 1, dtype=np.int64)
-        tmp[0] = H[i - 1][0] + gap
-        tmp[1:] = np.maximum(H[i - 1][:-1] + sub, H[i - 1][1:] + gap)
-        H[i] = gap * jj + np.maximum.accumulate(tmp - gap * jj)
+        shift = offs[i] - offs[i - 1]
+        j = offs[i] + ks
+        pad[1 : W + 1] = H[i - 1]
+        # neighbor windows: prev index k + shift (up), k + shift - 1 (diag);
+        # out-of-band indices land on the NEG_H pad cells
+        up = pad[np.clip(ks + shift, -1, W) + 1]
+        diag = pad[np.clip(ks + shift - 1, -1, W) + 1]
+        jb = np.clip(j - 1, 0, lb - 1)
+        sub = np.where(b[jb] == a[i - 1], match, mismatch)
+        valid_j = (j <= lb)
+        tmp = np.maximum(
+            np.where(j >= 1, diag + sub, NEG_H),
+            up + gap,
+        )
+        # in-row insertion chain within the band window
+        row = gap * j + np.maximum.accumulate(tmp - gap * j)
+        H[i] = np.where(valid_j, np.maximum(tmp, row), NEG_H)
     # traceback
     ops = []
     i, j = la, lb
     n_eq = 0
     while i > 0 or j > 0:
-        h = H[i][j]
-        if i > 0 and j > 0 and h == H[i - 1][j - 1] + (
-            match if a[i - 1] == b[j - 1] else mismatch
-        ):
-            ops.append(ccigar.M)
-            n_eq += int(a[i - 1] == b[j - 1])
-            i -= 1
-            j -= 1
-        elif i > 0 and h == H[i - 1][j] + gap:
-            ops.append(ccigar.I)
-            i -= 1
-        else:
-            ops.append(ccigar.D)
-            j -= 1
+        k = j - offs[i]
+        h = H[i][k]
+        moved = False
+        if i > 0 and j > 0:
+            kp = j - 1 - offs[i - 1]
+            if 0 <= kp < W and h == H[i - 1][kp] + (
+                match if a[i - 1] == b[j - 1] else mismatch
+            ):
+                ops.append(ccigar.M)
+                n_eq += int(a[i - 1] == b[j - 1])
+                i -= 1
+                j -= 1
+                moved = True
+        if not moved and i > 0:
+            kp = j - offs[i - 1]
+            if 0 <= kp < W and h == H[i - 1][kp] + gap:
+                ops.append(ccigar.I)
+                i -= 1
+                moved = True
+        if not moved:
+            if j > 0 and (i == 0 or j - 1 - offs[i] >= 0):
+                ops.append(ccigar.D)
+                j -= 1
+            else:
+                # band edge: force the remaining moves
+                ops.append(ccigar.I if i > 0 else ccigar.D)
+                if i > 0:
+                    i -= 1
+                else:
+                    j -= 1
     ops.reverse()
     o, l = ccigar.normalize(
         np.array(ops, dtype=np.uint8),
         np.ones(len(ops), dtype=np.int64),
     )
     return o, l, n_eq
+
+
+def mapping_to_cigar(m: np.ndarray, q_codes: np.ndarray,
+                     t_codes: np.ndarray):
+    """Convert a device alignment mapping row to (ops, lens, n_eq).
+
+    ``m[i]`` is the draft position of read base i (or ``-(a+3)`` for an
+    insertion after draft position a) as produced by
+    :func:`haslr_tpu.kernels.nw.align_mapping_device`; the global
+    alignment consumes all of both sequences.  Fully vectorized: every
+    read position expands to an optional D run plus one M/I column, then
+    ``cigar.normalize`` merges runs and drops zero-length ops.
+    """
+    L = len(q_codes)
+    d_len = len(t_codes)
+    if L == 0:
+        if d_len == 0:
+            return np.zeros(0, np.uint8), np.zeros(0, np.int64), 0
+        return (np.array([ccigar.D], np.uint8),
+                np.array([d_len], np.int64), 0)
+    mm = m[:L].astype(np.int64)
+    diag = mm >= 0
+    j_vals = np.where(diag, mm, -1)
+    prev_j = np.maximum.accumulate(np.concatenate([[-1], j_vals]))[:-1]
+    d_before = np.where(diag, j_vals - prev_j - 1, 0)
+    # per position: [D run][M or I]
+    ops = np.empty(2 * L + 1, dtype=np.uint8)
+    lens = np.empty(2 * L + 1, dtype=np.int64)
+    ops[0::2][:L] = ccigar.D
+    lens[0::2][:L] = d_before
+    ops[1::2] = np.where(diag, ccigar.M, ccigar.I).astype(np.uint8)
+    lens[1::2] = 1
+    last_j = int(j_vals.max()) if diag.any() else -1
+    ops[-1] = ccigar.D
+    lens[-1] = d_len - 1 - last_j
+    n_eq = int(
+        np.sum(q_codes[diag] == t_codes[np.clip(j_vals[diag], 0, d_len - 1)])
+    )
+    return ccigar.normalize(ops, lens) + (n_eq,)
+
+
+def batch_align_segments(segments, match=2, mismatch=-4, gap=-2):
+    """Globally align many (q_codes, t_codes) segment pairs on device.
+
+    Segments are length-bucketed and run through the batched banded-NW
+    kernel (the same engine as window consensus); pairs whose length
+    difference exceeds the band fall back to the host banded NW.  Returns
+    a list of (ops, lens, n_eq) parallel to ``segments``.
+    """
+    from haslr_tpu.kernels import nw as knw
+
+    results = [None] * len(segments)
+    buckets = {}
+    for i, (q, t) in enumerate(segments):
+        lq, lt = len(q), len(t)
+        if lq == 0 or lt == 0 or max(lq, lt) < 16:
+            results[i] = nw_cigar(q, t, match, mismatch, gap)
+            continue
+        S = 128
+        while S < max(lq, lt):
+            S *= 2
+        W = 128 if S <= 1024 else (256 if S <= 2048 else 512)
+        if abs(lq - lt) >= W // 2 - 4 or S > 16384:
+            results[i] = nw_cigar(q, t, match, mismatch, gap)
+            continue
+        buckets.setdefault(S, []).append(i)
+    for S, idxs in sorted(buckets.items()):
+        W = 128 if S <= 1024 else (256 if S <= 2048 else 512)
+        max_b = max(32, (256 << 20) // ((2 * S + 1) * W))
+        for lo in range(0, len(idxs), max_b):
+            chunk = idxs[lo : lo + max_b]
+            B = 32
+            while B < len(chunk):
+                B *= 2
+            reads = np.full((B, S), 4, dtype=np.uint8)
+            drafts = np.full((B, S), 4, dtype=np.uint8)
+            r_lens = np.zeros(B, dtype=np.int32)
+            d_lens = np.zeros(B, dtype=np.int32)
+            for k, i in enumerate(chunk):
+                q, t = segments[i]
+                reads[k, : len(q)] = q
+                drafts[k, : len(t)] = t
+                r_lens[k] = len(q)
+                d_lens[k] = len(t)
+            mapping = knw.align_mapping_device(
+                reads, r_lens, drafts, d_lens, W, match, mismatch, gap
+            )
+            for k, i in enumerate(chunk):
+                q, t = segments[i]
+                results[i] = mapping_to_cigar(mapping[k], q, t)
+    return results
+
+
+def chain_to_segments(
+    q_codes: np.ndarray,
+    t_codes: np.ndarray,
+    q_anchor: np.ndarray,
+    t_anchor: np.ndarray,
+    k: int,
+    exact_anchors: bool = True,
+    coalesce: int = 256,
+):
+    """Decompose a chain into (literal_parts, nw_segments).
+
+    Returns ``parts``: an ordered list of either ``("M", length, n_eq)``
+    literal match runs (exact anchors / diagonal stretches) or
+    ``("NW", seg_idx)`` placeholders, plus the list of (q_seg, t_seg)
+    code-array pairs to align.  Shared by the single-read and batched
+    extension paths.
+    """
+    parts = []
+    segs = []
+    cq, ct = int(q_anchor[0]), int(t_anchor[0])
+    for q2, t2 in zip(q_anchor[1:], t_anchor[1:]):
+        q2, t2 = int(q2), int(t2)
+        dq, dt = q2 - cq, t2 - ct
+        if dq <= 0 or dt <= 0:
+            continue
+        if dq == dt and exact_anchors:
+            ne = int(np.sum(q_codes[cq : cq + dq] == t_codes[ct : ct + dq]))
+            parts.append(("M", dq, ne))
+            cq, ct = q2, t2
+        elif exact_anchors:
+            if dq < k or dt < k:
+                continue
+            parts.append(("M", k, k))
+            parts.append(("NW", len(segs)))
+            segs.append((q_codes[cq + k : q2], t_codes[ct + k : t2]))
+            cq, ct = q2, t2
+        else:
+            if dq < coalesce and dt < coalesce and (q2, t2) != (
+                int(q_anchor[-1]), int(t_anchor[-1])
+            ):
+                continue
+            parts.append(("NW", len(segs)))
+            segs.append((q_codes[cq:q2], t_codes[ct:t2]))
+            cq, ct = q2, t2
+    if exact_anchors:
+        ne = int(np.sum(q_codes[cq : cq + k] == t_codes[ct : ct + k]))
+        parts.append(("M", k, ne))
+    else:
+        qe = min(cq + k, len(q_codes))
+        te = min(ct + k, len(t_codes))
+        parts.append(("NW", len(segs)))
+        segs.append((q_codes[cq:qe], t_codes[ct:te]))
+    return parts, segs
+
+
+def assemble_parts(parts, seg_results):
+    """Stitch literal parts + aligned segments into one normalized CIGAR."""
+    ops_list = []
+    lens_list = []
+    n_match = 0
+    for part in parts:
+        if part[0] == "M":
+            ops_list.append(np.array([ccigar.M], np.uint8))
+            lens_list.append(np.array([part[1]], np.int64))
+            n_match += part[2]
+        else:
+            o, l, ne = seg_results[part[1]]
+            ops_list.append(o)
+            lens_list.append(l)
+            n_match += ne
+    ops = np.concatenate(ops_list)
+    lens = np.concatenate(lens_list)
+    return ccigar.normalize(ops, lens) + (n_match,)
 
 
 def chain_to_cigar(
@@ -72,74 +282,12 @@ def chain_to_cigar(
     k: int,
     exact_anchors: bool = True,
 ):
-    """CIGAR over [q_anchor[0], q_anchor[-1]+k) x [t_anchor[0], ...+k).
-
-    ``exact_anchors=True``: anchors are exact k-base matches in original
-    coordinates (plain minimizers) — diagonal stretches become M runs and
-    only off-diagonal gaps are NW-aligned.  ``False``: anchors match only
-    in homopolymer-compressed space (the pacbio ``-H`` preset), so their
-    original-coordinate spans differ between query and target; anchors are
-    treated as chain guide *points* and every segment, anchors included,
-    goes through NW.
-
-    Returns (ops, lens, n_match) where n_match counts equal-base columns
-    (the PAF col-10 statistic).
-    """
-    ops_list = []
-    lens_list = []
-    n_match = 0
-    cq, ct = int(q_anchor[0]), int(t_anchor[0])
-
-    def emit(o, l):
-        ops_list.append(o)
-        lens_list.append(l)
-
-    for q2, t2 in zip(q_anchor[1:], t_anchor[1:]):
-        q2, t2 = int(q2), int(t2)
-        dq, dt = q2 - cq, t2 - ct
-        if dq <= 0 or dt <= 0:
-            continue  # dominated anchor
-        if dq == dt and exact_anchors:
-            emit(
-                np.array([ccigar.M], np.uint8),
-                np.array([dq], np.int64),
-            )
-            n_match += int(
-                np.sum(q_codes[cq : cq + dq] == t_codes[ct : ct + dq])
-            )
-            cq, ct = q2, t2
-        elif exact_anchors:
-            if dq < k or dt < k:
-                continue  # overlap inconsistent with an indel; skip anchor
-            emit(
-                np.array([ccigar.M], np.uint8),
-                np.array([k], np.int64),
-            )
-            n_match += k
-            o, l, ne = nw_cigar(
-                q_codes[cq + k : q2], t_codes[ct + k : t2]
-            )
-            emit(o, l)
-            n_match += ne
-            cq, ct = q2, t2
-        else:
-            o, l, ne = nw_cigar(q_codes[cq:q2], t_codes[ct:t2])
-            emit(o, l)
-            n_match += ne
-            cq, ct = q2, t2
-    # the final anchor's k compressed bases span >= k original bases; NW the
-    # k-base tail so both coordinates stay cigar-consistent
-    if exact_anchors:
-        emit(np.array([ccigar.M], np.uint8), np.array([k], np.int64))
-        n_match += int(
-            np.sum(q_codes[cq : cq + k] == t_codes[ct : ct + k])
-        )
-    else:
-        qe = min(cq + k, len(q_codes))
-        te = min(ct + k, len(t_codes))
-        o, l, ne = nw_cigar(q_codes[cq:qe], t_codes[ct:te])
-        emit(o, l)
-        n_match += ne
-    ops = np.concatenate(ops_list)
-    lens = np.concatenate(lens_list)
-    return ccigar.normalize(ops, lens) + (n_match,)
+    """CIGAR over [q_anchor[0], q_anchor[-1]+k) x [t_anchor[0], ...+k),
+    aligning gap segments on host (single-read path; the batched pipeline
+    in :mod:`haslr_tpu.aligner.map` sends segments through the device
+    kernel instead).  Returns (ops, lens, n_match)."""
+    parts, segs = chain_to_segments(
+        q_codes, t_codes, q_anchor, t_anchor, k, exact_anchors
+    )
+    seg_results = [nw_cigar(q, t) for q, t in segs]
+    return assemble_parts(parts, seg_results)

@@ -46,42 +46,47 @@ def collect_anchors(idx: MinimizerIndex, codes: np.ndarray):
     h, qp, qe, qs = mz.minimizers(codes, idx.k, idx.w, idx.hpc)
     lo, hi = idx.lookup(h)
     occ = hi - lo
+    keep = (occ > 0) & (occ <= idx.max_occ)
+    if not keep.any():
+        return {}
+    l, c = lo[keep], (hi - lo)[keep]
+    total = int(c.sum())
+    # enumerate all index entries of all kept seeds in one shot
+    starts = np.concatenate([[0], np.cumsum(c)[:-1]])
+    flat = np.repeat(l, c) + (np.arange(total) - np.repeat(starts, c))
+    cid = idx.contig_ids[flat]
+    rel = np.repeat(qs[keep], c) ^ idx.strands[flat]
+    t = idx.positions[flat]
+    # on the revcomp read the k-mer starts at rlen - end; under HPC the
+    # span exceeds k, so the true end matters
+    q = np.where(
+        rel == 0, np.repeat(qp[keep], c), rlen - np.repeat(qe[keep], c)
+    )
+    # group by (contig, rel strand)
+    order = np.lexsort((q, t, rel, cid))
+    cid, rel, t, q = cid[order], rel[order], t[order], q[order]
+    boundary = np.concatenate(
+        [[True], (cid[1:] != cid[:-1]) | (rel[1:] != rel[:-1])]
+    )
+    idxs = np.nonzero(boundary)[0]
     out = {}
-    for a in range(len(h)):
-        if occ[a] == 0 or occ[a] > idx.max_occ:
-            continue
-        for e in range(lo[a], hi[a]):
-            cid = int(idx.contig_ids[e])
-            rel = int(qs[a] ^ idx.strands[e])
-            t = int(idx.positions[e])
-            if rel == 0:
-                q = int(qp[a])
-            else:
-                # on the revcomp read the k-mer starts at rlen - end; under
-                # HPC the span exceeds k, so the true end matters
-                q = rlen - int(qe[a])
-            out.setdefault((cid, rel), []).append((t, q))
+    for s, e in zip(idxs, np.concatenate([idxs[1:], [total]])):
+        out[(int(cid[s]), int(rel[s]))] = np.stack(
+            [t[s:e], q[s:e]], axis=1
+        )
     return out
 
 
-def map_read(
-    idx: MinimizerIndex,
-    codes: np.ndarray,
-    name: str,
-    contig_codes: list,
-    contig_names: list,
-    min_chain_score: float = 40.0,
-    min_anchors: int = 3,
-) -> list[cio.PafRecord]:
+def accept_chains(idx, codes, min_chain_score=40.0, min_anchors=3):
+    """Chain anchors in every (contig, strand) group and greedily accept
+    chains with <50% query overlap, tracking the best comparable
+    competitor per accepted chain for MAPQ.  Returns rows
+    ``[score, f2, cid, rel, t_arr, q_arr, (qs, qe)]``."""
     rlen = len(codes)
-    if rlen < idx.k:
-        return []
-    rc = cseq.revcomp_codes(codes)
     groups = collect_anchors(idx, codes)
-    # chain every group
     all_chains = []  # (score, cid, rel, t_arr, q_arr)
-    for (cid, rel), pairs in groups.items():
-        arr = np.array(sorted(pairs), dtype=np.int64)
+    for (cid, rel), arr in groups.items():
+        arr = arr.astype(np.int64)  # already sorted by (t, q)
         chains = chain_anchors(
             arr[:, 0], arr[:, 1], idx.k,
             min_score=min_chain_score, min_anchors=min_anchors,
@@ -89,8 +94,7 @@ def map_read(
         for score, sel in chains:
             all_chains.append((score, cid, rel, arr[sel, 0], arr[sel, 1]))
     all_chains.sort(key=lambda c: -c[0])
-    # greedy accept with <50% query overlap; track best competitor per accept
-    accepted = []  # (score, f2, cid, rel, t_arr, q_arr)
+    accepted = []
     for score, cid, rel, t_arr, q_arr in all_chains:
         qs, qe = int(q_arr.min()), int(q_arr.max()) + idx.k
         if rel == 1:
@@ -109,47 +113,69 @@ def map_read(
             # nothing about mapping ambiguity; only comparable competitors
             # (true alternative placements) lower MAPQ
             overlapped[1] = max(overlapped[1], score)
-    # extend + emit
+    return accepted
+
+
+def _emit_record(name, rlen, rel, cid, contig_names, t_codes, q_arr, t_arr,
+                 ops, lens, n_match, score, f2):
+    q_beg = int(q_arr[0])
+    q_end = q_beg + ccigar.query_len(ops, lens)
+    t_beg = int(t_arr[0])
+    t_end = t_beg + ccigar.target_len(ops, lens)
+    n_block = ccigar.n_columns(ops, lens)
+    n = len(t_arr)
+    mapq = int(
+        min(60, 60.0 * (1.0 - f2 / max(score, 1e-9)) * min(1.0, n / 10))
+    )
+    if rel == 0:
+        qs_out, qe_out = q_beg, q_end
+    else:
+        qs_out, qe_out = rlen - q_end, rlen - q_beg
+    return cio.PafRecord(
+        q_name=name,
+        q_len=rlen,
+        q_start=qs_out,
+        q_end=qe_out,
+        strand="-" if rel else "+",
+        t_name=contig_names[cid],
+        t_len=len(t_codes),
+        t_start=t_beg,
+        t_end=t_end,
+        n_match=n_match,
+        n_block=n_block,
+        mapq=mapq,
+        tags={"tp": "P", "cg": ccigar.to_string(ops, lens)},
+    )
+
+
+def map_read(
+    idx: MinimizerIndex,
+    codes: np.ndarray,
+    name: str,
+    contig_codes: list,
+    contig_names: list,
+    min_chain_score: float = 40.0,
+    min_anchors: int = 3,
+) -> list[cio.PafRecord]:
+    rlen = len(codes)
+    if rlen < idx.k:
+        return []
+    rc = cseq.revcomp_codes(codes)
+    accepted = accept_chains(idx, codes, min_chain_score, min_anchors)
+    # extend + emit (host path; map_reads batches segments on device)
     records = []
     for score, f2, cid, rel, t_arr, q_arr, (qs0, qe0) in accepted:
         q_codes = codes if rel == 0 else rc
         t_codes = contig_codes[cid]
-        # sort anchors along the chain (increasing t, q)
         order = np.argsort(t_arr, kind="stable")
         t_arr, q_arr = t_arr[order], q_arr[order]
         ops, lens, n_match = chain_to_cigar(
             q_codes, t_codes, q_arr, t_arr, idx.k,
             exact_anchors=not idx.hpc,
         )
-        q_beg = int(q_arr[0])
-        q_end = q_beg + ccigar.query_len(ops, lens)
-        t_beg = int(t_arr[0])
-        t_end = t_beg + ccigar.target_len(ops, lens)
-        n_block = ccigar.n_columns(ops, lens)
-        n = len(t_arr)
-        mapq = int(
-            min(60, 60.0 * (1.0 - f2 / max(score, 1e-9)) * min(1.0, n / 10))
-        )
-        if rel == 0:
-            qs_out, qe_out = q_beg, q_end
-        else:
-            qs_out, qe_out = rlen - q_end, rlen - q_beg
         records.append(
-            cio.PafRecord(
-                q_name=name,
-                q_len=rlen,
-                q_start=qs_out,
-                q_end=qe_out,
-                strand="-" if rel else "+",
-                t_name=contig_names[cid],
-                t_len=len(t_codes),
-                t_start=t_beg,
-                t_end=t_end,
-                n_match=n_match,
-                n_block=n_block,
-                mapq=mapq,
-                tags={"tp": "P", "cg": ccigar.to_string(ops, lens)},
-            )
+            _emit_record(name, rlen, rel, cid, contig_names, t_codes,
+                         q_arr, t_arr, ops, lens, n_match, score, f2)
         )
     records.sort(key=lambda r: (r.q_start, r.q_end))
     return records
@@ -166,6 +192,12 @@ def map_reads(
 
     Equivalent of ``minimap2 --secondary=no -c {preset} contigs lr > paf``.
     """
+    from haslr_tpu.aligner.extend import (
+        assemble_parts,
+        batch_align_segments,
+        chain_to_segments,
+    )
+
     k, w, hpc = PRESETS[read_type]
     contig_names = []
     contig_codes = []
@@ -173,14 +205,57 @@ def map_reads(
         contig_names.append(rec.name)
         contig_codes.append(cseq.encode(rec.seq))
     idx = MinimizerIndex.build(contig_codes, k, w, hpc)
+
+    # phase 1: seed + chain every read; decompose chains into literal
+    # parts and NW segments (collected globally)
+    pending = []   # (name, rlen, rel, cid, q_arr, t_arr, parts, seg_base, score, f2)
+    segments = []
+    read_order = []
+    for rec in cio.read_fastx(reads_fasta):
+        codes = cseq.encode(rec.seq)
+        rlen = len(codes)
+        read_recs = []
+        read_order.append((rec.name, read_recs))
+        if rlen < idx.k:
+            continue
+        rc = cseq.revcomp_codes(codes)
+        for score, f2, cid, rel, t_arr, q_arr, _span in accept_chains(
+            idx, codes, min_chain_score
+        ):
+            q_codes = codes if rel == 0 else rc
+            t_codes = contig_codes[cid]
+            order = np.argsort(t_arr, kind="stable")
+            t_arr, q_arr = t_arr[order], q_arr[order]
+            parts, segs = chain_to_segments(
+                q_codes, t_codes, q_arr, t_arr, idx.k,
+                exact_anchors=not idx.hpc,
+            )
+            pending.append(
+                (rec.name, rlen, rel, cid, q_arr, t_arr, parts,
+                 len(segments), score, f2, read_recs)
+            )
+            segments.extend(segs)
+
+    # phase 2: one batched device alignment over every segment of every read
+    seg_results = batch_align_segments(segments)
+
+    # phase 3: assemble CIGARs and emit
     n = 0
     with open(out_paf, "w") as fp:
-        for rec in cio.read_fastx(reads_fasta):
-            codes = cseq.encode(rec.seq)
-            for pr in map_read(
-                idx, codes, rec.name, contig_codes, contig_names,
-                min_chain_score=min_chain_score,
-            ):
+        for (name, rlen, rel, cid, q_arr, t_arr, parts, seg_base, score,
+             f2, read_recs) in pending:
+            ops, lens, n_match = assemble_parts(
+                parts, seg_results[seg_base:]
+            )
+            read_recs.append(
+                _emit_record(
+                    name, rlen, rel, cid, contig_names, contig_codes[cid],
+                    q_arr, t_arr, ops, lens, n_match, score, f2,
+                )
+            )
+        for name, read_recs in read_order:
+            read_recs.sort(key=lambda r: (r.q_start, r.q_end))
+            for pr in read_recs:
                 fp.write(pr.to_line() + "\n")
                 n += 1
     return n
