@@ -15,9 +15,20 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: on this machine TPU compiles go through
+# a remote service at 1-3 min per shape — cache them across processes
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N_WINDOWS = 256
 N_SUPPORT = 13

@@ -107,6 +107,44 @@ def _word_spans(k: int):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+def _device_unique_counts(codes: jnp.ndarray, k: int, min_count):
+    """Sort + run-length count + abundance filter + compaction, all on
+    device; returns (compacted word columns, counts, n_distinct).
+
+    Only the ``n_distinct`` prefix of the outputs is meaningful — callers
+    fetch exactly that slice, keeping the device->host transfer
+    proportional to the distinct solid k-mers (the raw sorted stream for a
+    real read set would be hundreds of MB through the TPU relay).
+    """
+    sorted_words, n_valid = _device_sorted_kmers(codes, k)
+    m = sorted_words[0].shape[0]
+    pos = jnp.arange(m)
+    valid = pos < n_valid
+    new = jnp.zeros(m, bool).at[0].set(True)
+    for w in sorted_words:
+        new = new | jnp.concatenate([jnp.ones(1, bool), w[1:] != w[:-1]])
+    new = new & valid
+    seg = jnp.cumsum(new.astype(jnp.int32)) - 1  # run id per position
+    counts = jnp.zeros(m, jnp.int32).at[jnp.where(valid, seg, m - 1)].add(
+        jnp.where(valid, 1, 0)
+    )
+    starts = jnp.nonzero(new, size=m, fill_value=m - 1)[0]
+    run_counts = counts[jnp.arange(m)]
+    n_runs = jnp.sum(new.astype(jnp.int32))
+    keep = (jnp.arange(m) < n_runs) & (run_counts >= min_count)
+    out_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    dump = m - 1
+    tgt = jnp.where(keep, out_idx, dump)
+    out_words = []
+    for w in sorted_words:
+        ow = jnp.zeros(m, w.dtype).at[tgt].set(w[starts])
+        out_words.append(ow)
+    out_counts = jnp.zeros(m, jnp.int32).at[tgt].set(run_counts)
+    return out_words, out_counts, n_keep
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def _device_sorted_kmers(codes: jnp.ndarray, k: int):
     """Canonical k-mers as uint32 word tuples, sorted on device.
 
@@ -191,19 +229,16 @@ def count_kmers_device(codes: np.ndarray, k: int, min_count: int = 1):
         codes = np.concatenate(
             [codes, np.full(n - len(codes), SEP, dtype=np.uint8)]
         )
-    sorted_words, n_valid = _device_sorted_kmers(jnp.asarray(codes), k)
-    nv = int(n_valid)
-    words = [np.asarray(w)[:nv] for w in sorted_words]
-    if nv == 0:
+    out_words, out_counts, n_keep = _device_unique_counts(
+        jnp.asarray(codes), k, min_count
+    )
+    n = int(n_keep)
+    if n == 0:
         z = np.zeros(0, np.uint64)
         return z, z, np.zeros(0, np.int64)
-    new = np.zeros(nv, bool)
-    new[0] = True
-    for w in words:
-        new[1:] |= w[1:] != w[:-1]
-    starts = np.nonzero(new)[0]
-    counts = np.diff(np.concatenate([starts, [nv]]))
-    keep = counts >= min_count
-    starts = starts[keep]
-    hi, lo = _words_to_pair([w[starts] for w in words], k)
-    return hi, lo, counts[keep]
+    # fetch only the distinct-kmer prefix (device slicing keeps the
+    # transfer proportional to the result, not the input)
+    words = [np.asarray(w[:n]) for w in out_words]
+    counts = np.asarray(out_counts[:n]).astype(np.int64)
+    hi, lo = _words_to_pair(words, k)
+    return hi, lo, counts

@@ -22,10 +22,28 @@ import numpy as np
 from haslr_tpu.core import seq as cseq
 
 
+# reverse-complement table for 8-base (16-bit) chunks, built vectorized
+def _build_r8() -> list:
+    x = np.arange(1 << 16, dtype=np.uint32)
+    out = np.zeros(1 << 16, dtype=np.uint32)
+    for _ in range(8):
+        out = (out << 2) | (3 - (x & 3))
+        x >>= 2
+    return out.tolist()
+
+
+_R8 = _build_r8()
+
+
 def rc_int(v: int, k: int) -> int:
-    """Reverse complement of a 2k-bit packed k-mer int."""
+    """Reverse complement of a 2k-bit packed k-mer int (8 bases per table
+    lookup; the remainder bases via the plain 2-bit loop)."""
     out = 0
-    for _ in range(k):
+    full, rem = divmod(k, 8)
+    for _ in range(full):
+        out = (out << 16) | _R8[v & 0xFFFF]
+        v >>= 16
+    for _ in range(rem):
         out = (out << 2) | (3 - (v & 3))
         v >>= 2
     return out
@@ -56,6 +74,7 @@ class DeBruijnGraph:
         self.k = k
         self.mask = (1 << (2 * k)) - 1
         self.counts = counts  # canonical kmer int -> count
+        self._canon_cache: dict[int, int] = {}
 
     @classmethod
     def from_pairs(cls, hi: np.ndarray, lo: np.ndarray, cnt: np.ndarray,
@@ -66,8 +85,12 @@ class DeBruijnGraph:
         return cls(k, counts)
 
     def canon(self, v: int) -> int:
-        r = rc_int(v, self.k)
-        return r if r < v else v
+        c = self._canon_cache.get(v)
+        if c is None:
+            r = rc_int(v, self.k)
+            c = r if r < v else v
+            self._canon_cache[v] = c
+        return c
 
     def succs(self, v: int) -> list[int]:
         """Oriented right extensions of oriented k-mer v present in graph."""
