@@ -16,6 +16,8 @@ reference Longread.cpp:268).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from haslr_tpu.aligner import minimizer as mz
@@ -187,11 +189,21 @@ def map_reads(
     out_paf: str,
     read_type: str = "pacbio",
     min_chain_score: float = 40.0,
+    threads: int = 1,
 ) -> int:
     """Map all reads; writes PAF; returns the record count.
 
-    Equivalent of ``minimap2 --secondary=no -c {preset} contigs lr > paf``.
+    Equivalent of ``minimap2 -t T --secondary=no -c {preset} contigs lr``.
+    ``threads > 1`` shards the read stream across worker processes, each
+    with a replica of the contig index — the same structure that shards
+    reads across hosts on a pod slice (SURVEY.md §2.3), here at
+    process granularity.
     """
+    if threads > 1:
+        return _map_reads_sharded(
+            contig_fasta, reads_fasta, out_paf, read_type,
+            min_chain_score, threads,
+        )
     from haslr_tpu.aligner.extend import (
         assemble_parts,
         batch_align_segments,
@@ -257,5 +269,68 @@ def map_reads(
             read_recs.sort(key=lambda r: (r.q_start, r.q_end))
             for pr in read_recs:
                 fp.write(pr.to_line() + "\n")
+                n += 1
+    return n
+
+
+def _shard_worker(args):
+    (contig_fasta, reads_fasta, shard_paf, read_type, min_chain_score,
+     shard_idx, n_shards) = args
+    # workers must stay on local CPU: each would otherwise claim the TPU
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    shard_reads = shard_paf + ".reads.fa"
+    with open(shard_reads, "w") as fp:
+        for i, rec in enumerate(cio.read_fastx(reads_fasta)):
+            if i % n_shards == shard_idx:
+                fp.write(f">{rec.name}\n{rec.seq}\n")
+    n = map_reads(
+        contig_fasta, shard_reads, shard_paf, read_type, min_chain_score
+    )
+    os.remove(shard_reads)
+    return n
+
+
+def _map_reads_sharded(
+    contig_fasta, reads_fasta, out_paf, read_type, min_chain_score, threads
+):
+    """Data-parallel read mapping over worker processes.
+
+    Reads are round-robin sharded; each worker builds its own index
+    replica (cheap relative to mapping) and writes a shard PAF; shards
+    concatenate in read order via a merge by query name order of
+    appearance.  On a multi-host pod the same sharding runs per host with
+    the index replicated (SURVEY.md §2.3); support counts then merge via
+    psum in the assembler (haslr_tpu.dist).
+    """
+    import multiprocessing as mp
+
+    shard_pafs = [f"{out_paf}.shard{i}" for i in range(threads)]
+    args = [
+        (contig_fasta, reads_fasta, shard_pafs[i], read_type,
+         min_chain_score, i, threads)
+        for i in range(threads)
+    ]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(threads) as pool:
+        counts = pool.map(_shard_worker, args)
+    # merge shards preserving the original read order (the assembler's PAF
+    # reader groups consecutive lines per read)
+    per_name = {}
+    for sp in shard_pafs:
+        with open(sp) as fh:
+            for line in fh:
+                name = line.split("\t", 1)[0]
+                per_name.setdefault(name, []).append(line)
+        os.remove(sp)
+    n = 0
+    with open(out_paf, "w") as out:
+        for rec in cio.read_fastx(reads_fasta):
+            for line in per_name.get(rec.name, ()):
+                out.write(line)
                 n += 1
     return n

@@ -126,7 +126,9 @@ def align_lr_src(cfg: PipelineConfig, lr_file: str, src_file: str) -> str:
     )
     _stamp("aligning long reads to short read assembly... ")
     if not os.path.isfile(paf):
-        map_reads(src_file, lr_file, paf, read_type=cfg.type)
+        map_reads(
+            src_file, lr_file, paf, read_type=cfg.type, threads=cfg.threads
+        )
         _done()
     else:
         _done(skipped=True)
