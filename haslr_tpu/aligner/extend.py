@@ -13,7 +13,6 @@ import numpy as np
 
 from haslr_tpu.core import cigar as ccigar
 
-NEG = -(10**9)
 
 
 NEG_H = -(10**12)

@@ -19,7 +19,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from haslr_tpu.core import seq as cseq
 
 
 # reverse-complement table for 8-base (16-bit) chunks, built vectorized

@@ -172,24 +172,23 @@ def make_short_reads(
     read_len: int = 150,
     error_rate: float = 0.002,
 ) -> list[str]:
-    """Illumina-like short reads (substitution errors only), both strands."""
+    """Illumina-like short reads (substitution errors only), both strands.
+
+    Fully vectorized (windows gathered from the encoded genome, one
+    mutation mask, batch revcomp) so multi-Mb genomes simulate in seconds.
+    """
     n = len(genome)
-    total = 0
-    reads = []
-    while total < coverage * n:
-        start = int(rng.integers(0, max(1, n - read_len + 1)))
-        s = genome[start : start + read_len]
-        if error_rate > 0:
-            chars = list(s)
-            for i in range(len(chars)):
-                if rng.random() < error_rate:
-                    chars[i] = BASES[rng.integers(0, 4)]
-            s = "".join(chars)
-        if rng.random() < 0.5:
-            s = cseq.revcomp(s)
-        reads.append(s)
-        total += len(s)
-    return reads
+    codes = cseq.encode(genome)
+    n_reads = int(np.ceil(coverage * n / read_len))
+    starts = rng.integers(0, max(1, n - read_len + 1), n_reads)
+    wins = codes[starts[:, None] + np.arange(read_len)[None, :]].copy()
+    if error_rate > 0:
+        mut = rng.random(wins.shape) < error_rate
+        wins[mut] = rng.integers(0, 4, int(mut.sum()), dtype=np.int64)
+    rc = rng.random(n_reads) < 0.5
+    wins[rc] = 3 - wins[rc, ::-1]
+    chars = np.frombuffer(b"ACGT", dtype=np.uint8)[wins]
+    return [row.tobytes().decode() for row in chars]
 
 
 def write_short_reads(path: str, reads: list[str]):
