@@ -228,6 +228,64 @@ def find_simple_path_from_source(
     return True, path, cov / depth
 
 
+def find_next_edge(graph, curr_node, curr_strand):
+    """Unique continuation edge key from (node, strand), or None
+    (``bbg_find_next_edge``, Backbone_graph.cpp:404-431)."""
+    node = graph[curr_node]
+    if len(node.edges[0]) > 1 or len(node.edges[1]) > 1:
+        return None
+    if len(node.edges[curr_strand]) == 1:
+        return node.edges[curr_strand].first_key()
+    return None
+
+
+def find_simple_paths2(graph):
+    """Destructively peel simple paths from source/sink nodes
+    (``bbg_find_simple_paths2``, Backbone_graph.cpp:434-537): starting from
+    every node with edges on only one side, follow each of its edges to the
+    end of its simple path, record the path, remove its edges, and re-queue
+    freed endpoints.  Returns the list of paths as (node, strand) lists."""
+    from collections import deque as _deque
+
+    simple_paths = []
+    to_explore = _deque()
+    for i, node in enumerate(graph):
+        if len(node.edges[1]) == 0 and len(node.edges[0]) > 0:
+            to_explore.append((i, 0))
+        elif len(node.edges[1]) > 0 and len(node.edges[0]) == 0:
+            to_explore.append((i, 1))
+    while to_explore:
+        src_node, src_strand = to_explore.popleft()
+        paths_curr = []
+        for key in graph[src_node].edges[src_strand].keys():
+            if key not in graph[src_node].edges[src_strand]:
+                continue
+            path = [(src_node, src_strand)]
+            curr = key
+            while True:
+                nxt_node, nxt_strand = curr >> 1, curr & 1
+                path.append((nxt_node, nxt_strand))
+                curr = find_next_edge(graph, nxt_node, nxt_strand)
+                if curr is None:
+                    break
+            paths_curr.append(path)
+        for path in paths_curr:
+            simple_paths.append(path)
+            for j in range(len(path) - 1):
+                remove_edge(
+                    graph, path[j][0], path[j][1], path[j + 1][0],
+                    path[j + 1][1],
+                )
+            last_node, last_strand = path[-1]
+            out_n = len(graph[last_node].edges[0])
+            in_n = len(graph[last_node].edges[1])
+            if last_strand == 0 and out_n > 0 and in_n == 0:
+                to_explore.append((last_node, last_strand))
+            elif last_strand == 1 and out_n == 0 and in_n > 0:
+                to_explore.append((last_node, last_strand))
+    return simple_paths
+
+
 def iter_all_edges(graph):
     """Yield (node1, rev1, key, edge) over every directed edge entry, in the
     reference's canonical order (vertex id, then ascending key)."""

@@ -166,6 +166,20 @@ def test_gfa_and_stats(tmp_path):
     assert "connected_components: 1" in txt
 
 
+def test_find_simple_paths2_peels_chain():
+    g = _mk_graph(5)
+    _link(g, 0, 0, 1, 0)
+    _link(g, 1, 0, 2, 0)
+    _link(g, 2, 0, 3, 0)
+    _link(g, 2, 0, 4, 0)   # branch at node 2
+    paths = bb.find_simple_paths2(g)
+    # chain 0-1-2 peels first, then 2-3 and 2-4 after the branch frees up
+    flat = sorted(tuple(p[0]) + tuple(p[-1]) for p in paths)
+    assert len(paths) >= 2
+    # all edges consumed
+    assert all(len(n.edges[0]) == 0 and len(n.edges[1]) == 0 for n in g)
+
+
 def test_unique_edges_canonical():
     g = _mk_graph(4)
     _link(g, 0, 0, 1, 0)
