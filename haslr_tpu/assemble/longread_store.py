@@ -259,6 +259,29 @@ def fix_overlapping_alignments(alns: list[Alignment]) -> None:
         b.n_match = ccigar.n_matches(b.ops, b.lens)
 
 
+def dump_alignments(lrs: LongreadStore, path: str) -> None:
+    """Debug dump of the loaded alignments as PAF-like rows
+    (``print_loaded_alignments``, Longread.cpp:705-718) — diffable before
+    and after overlap fixing."""
+    with open(path, "w") as fp:
+        for rid, alns in enumerate(lrs.alignments):
+            for a in alns:
+                strand = "-" if a.is_rev else "+"
+                fp.write(
+                    f"{a.q_id}\t{a.q_start}\t{a.q_end}\t{strand}\t{a.t_id}"
+                    f"\t{a.t_start}\t{a.t_end}\t{a.n_match}\t{a.n_block}"
+                    f"\t{a.mapq}\tcg:Z:{a.cigar}\n"
+                )
+
+
+def dump_reads(lrs: LongreadStore, path: str) -> None:
+    """Debug dump of the decoded reads (``print_loaded_lrs``,
+    Longread.cpp:695-703)."""
+    with open(path, "w") as fp:
+        for rid in range(len(lrs)):
+            fp.write(f">{rid}\n{lrs.get_str(rid)}\n")
+
+
 def fix_alignments(lrs: LongreadStore) -> None:
     """Apply overlap fixing to every read (``fix_alignments``,
     Longread.cpp:626-635)."""
