@@ -180,8 +180,12 @@ class _Pileup:
         return out
 
 
-def _one_round(window_codes, drafts, match, mismatch, gap):
-    """One align+vote polish round for all windows; returns new drafts."""
+def _one_round(window_codes, drafts, match, mismatch, gap,
+               device_pileup=True):
+    """One align+vote polish round for all windows; returns new drafts.
+
+    ``device_pileup`` keeps the vote tables and mapping on device (the
+    host accumulator remains as the reference implementation)."""
     # bucket (win, read) pairs
     jobs = {}  # (S) -> list of (win_idx, read_idx)
     for wi, (codes_list, draft) in enumerate(zip(window_codes, drafts)):
@@ -200,7 +204,12 @@ def _one_round(window_codes, drafts, match, mismatch, gap):
             if len(c) == 0 or len(c) > S:
                 continue
             jobs.setdefault(S, []).append((wi, ri))
-    pile = _Pileup(drafts)
+    if device_pileup:
+        from haslr_tpu.kernels.pileup import DevicePileup
+
+        pile = DevicePileup(drafts)
+    else:
+        pile = _Pileup(drafts)
     for S, pairs in sorted(jobs.items()):
         W = _band_width(S)
         # cap batch so the on-device direction tensor stays modest
@@ -225,12 +234,17 @@ def _one_round(window_codes, drafts, match, mismatch, gap):
                 r_lens[k] = len(c)
                 d_lens[k] = len(d)
                 win_idx[k] = wi
-            # device-resident DP + traceback: only the compact (B, S)
-            # int16 mapping crosses the (slow) device->host link
-            mapping = nw.align_mapping_device(
-                reads, r_lens, dr, d_lens, W, match, mismatch, gap
-            )
-            pile.add_chunk(mapping, reads, r_lens, win_idx)
+            if device_pileup:
+                # fully device-resident: the mapping never leaves the chip
+                mapping_dev = nw.align_mapping_device_raw(
+                    reads, r_lens, dr, d_lens, W, match, mismatch, gap
+                )
+                pile.add_chunk_device(mapping_dev, reads, r_lens, win_idx)
+            else:
+                mapping = nw.align_mapping_device(
+                    reads, r_lens, dr, d_lens, W, match, mismatch, gap
+                )
+                pile.add_chunk(mapping, reads, r_lens, win_idx)
     return pile.vote(drafts)
 
 
@@ -240,6 +254,7 @@ def batched_consensus(
     mismatch: int = -4,
     gap: int = -8,
     rounds: int = 2,
+    device_pileup: bool = True,
 ) -> list[str]:
     """Consensus string per window (list of supporting subsequences)."""
     window_codes = []
@@ -253,5 +268,6 @@ def batched_consensus(
             by_len = sorted(codes, key=len)
             drafts.append(by_len[len(by_len) // 2])
     for _ in range(rounds):
-        drafts = _one_round(window_codes, drafts, match, mismatch, gap)
+        drafts = _one_round(window_codes, drafts, match, mismatch, gap,
+                            device_pileup=device_pileup)
     return [cseq.decode(d) for d in drafts]

@@ -237,6 +237,32 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def align_mapping_device_raw(
+    reads: np.ndarray,
+    r_lens: np.ndarray,
+    drafts: np.ndarray,
+    d_lens: np.ndarray,
+    W: int = 128,
+    match: int = 5,
+    mismatch: int = -4,
+    gap: int = -8,
+):
+    """Device-resident align + traceback; returns the (B, R) mapping as a
+    DEVICE array (see :func:`traceback_batch` for the encoding).  On TPU
+    the DP runs in the Mosaic kernel (:mod:`haslr_tpu.kernels.nw_pallas`)
+    when the batch fits its 32-read grouping."""
+    R = reads.shape[1]
+    D = drafts.shape[1]
+    use_pallas = _on_tpu() and reads.shape[0] % 32 == 0 and (R + D + 1) * 32 * W <= 8 << 20
+    return _align_mapping(
+        jnp.asarray(reads),
+        jnp.asarray(r_lens, dtype=jnp.int32),
+        jnp.asarray(drafts),
+        jnp.asarray(d_lens, dtype=jnp.int32),
+        R, D, W, match, mismatch, gap, use_pallas,
+    )
+
+
 def align_mapping_device(
     reads: np.ndarray,
     r_lens: np.ndarray,
@@ -247,21 +273,12 @@ def align_mapping_device(
     mismatch: int = -4,
     gap: int = -8,
 ) -> np.ndarray:
-    """Device-resident align + traceback; returns the (B, R) mapping (see
-    :func:`traceback_batch` for the encoding).  On TPU the DP runs in the
-    Mosaic kernel (:mod:`haslr_tpu.kernels.nw_pallas`) when the batch fits
-    its 32-read grouping."""
-    R = reads.shape[1]
-    D = drafts.shape[1]
-    use_pallas = _on_tpu() and reads.shape[0] % 32 == 0 and (R + D + 1) * 32 * W <= 8 << 20
-    m = _align_mapping(
-        jnp.asarray(reads),
-        jnp.asarray(r_lens, dtype=jnp.int32),
-        jnp.asarray(drafts),
-        jnp.asarray(d_lens, dtype=jnp.int32),
-        R, D, W, match, mismatch, gap, use_pallas,
+    """Host-array wrapper around :func:`align_mapping_device_raw`."""
+    return np.asarray(
+        align_mapping_device_raw(
+            reads, r_lens, drafts, d_lens, W, match, mismatch, gap
+        )
     )
-    return np.asarray(m)
 
 
 def banded_nw_batch(

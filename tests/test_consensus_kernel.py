@@ -126,6 +126,34 @@ def test_batched_consensus_majority():
         assert shared > 0.9, shared
 
 
+def test_device_pileup_matches_host_pileup():
+    """Both pileup engines must vote the exact same consensus."""
+    rng = np.random.default_rng(21)
+    bases = "ACGT"
+
+    def mutate(s, rate=0.07):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < rate / 3:
+                continue
+            if r < 2 * rate / 3:
+                out.append(bases[rng.integers(0, 4)])
+            else:
+                out.append(ch)
+                if r < rate:
+                    out.append(bases[rng.integers(0, 4)])
+        return "".join(out)
+
+    windows = []
+    for L in (80, 250, 600):
+        true = "".join(bases[i] for i in rng.integers(0, 4, L))
+        windows.append([mutate(true) for _ in range(9)])
+    dev = batched_consensus(windows, device_pileup=True)
+    host = batched_consensus(windows, device_pileup=False)
+    assert dev == host
+
+
 def test_batched_consensus_mixed_lengths():
     # windows of very different sizes exercise multiple buckets in one call
     rng = np.random.default_rng(9)
