@@ -16,7 +16,10 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libhaslr.so")
-_SOURCES = [os.path.join(_DIR, "fastx.cpp")]
+_SOURCES = [
+    os.path.join(_DIR, "fastx.cpp"),
+    os.path.join(_DIR, "dbg.cpp"),
+]
 _lib = None
 _tried = False
 
@@ -62,8 +65,72 @@ def get_lib():
     lib.hx_comments.argtypes = [ctypes.c_void_p]
     lib.hx_free.restype = None
     lib.hx_free.argtypes = [ctypes.c_void_p]
+    # de Bruijn walker
+    lib.hx_dbg_run.restype = ctypes.c_void_p
+    lib.hx_dbg_run.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64, ctypes.c_int,
+    ]
+    for fn in ("hx_dbg_n_unitigs", "hx_dbg_seqs_size", "hx_dbg_n_links"):
+        getattr(lib, fn).restype = ctypes.c_uint64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.hx_dbg_seqs.restype = ctypes.c_void_p
+    lib.hx_dbg_seqs.argtypes = [ctypes.c_void_p]
+    for fn in ("hx_dbg_seq_offsets", "hx_dbg_kc", "hx_dbg_nk"):
+        getattr(lib, fn).restype = ctypes.POINTER(ctypes.c_uint64)
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.hx_dbg_links.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.hx_dbg_links.argtypes = [ctypes.c_void_p]
+    lib.hx_dbg_free.restype = None
+    lib.hx_dbg_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def dbg_unitigs(hi, lo, cnt, k: int):
+    """Native de Bruijn compaction; returns (seqs, kc, nk, links) or None
+    when the library is unavailable.
+
+    ``seqs`` is a list of unitig strings; ``links`` is an (n, 4) int32
+    array of (from_uid, from_sign, to_uid, to_sign) with sign 0='+'.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    hi = np.ascontiguousarray(hi, dtype=np.uint64)
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    cnt32 = np.ascontiguousarray(cnt, dtype=np.uint32)
+    h = lib.hx_dbg_run(
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        cnt32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(hi), k,
+    )
+    if not h:
+        return None
+    try:
+        nu = lib.hx_dbg_n_unitigs(h)
+        blob = ctypes.string_at(lib.hx_dbg_seqs(h), lib.hx_dbg_seqs_size(h))
+        offs = np.ctypeslib.as_array(
+            lib.hx_dbg_seq_offsets(h), shape=(nu + 1,)
+        ).copy()
+        kc = np.ctypeslib.as_array(lib.hx_dbg_kc(h), shape=(nu,)).copy() \
+            if nu else np.zeros(0, np.uint64)
+        nk = np.ctypeslib.as_array(lib.hx_dbg_nk(h), shape=(nu,)).copy() \
+            if nu else np.zeros(0, np.uint64)
+        nl = lib.hx_dbg_n_links(h)
+        if nl:
+            links = np.ctypeslib.as_array(
+                lib.hx_dbg_links(h), shape=(nl * 4,)
+            ).copy().reshape(nl, 4)
+        else:
+            links = np.zeros((0, 4), np.int32)
+        seqs = [
+            blob[offs[i] : offs[i + 1]].decode() for i in range(nu)
+        ]
+        return seqs, kc, nk, links
+    finally:
+        lib.hx_dbg_free(h)
 
 
 def read_fastx_encoded(path: str):

@@ -208,13 +208,32 @@ def write_unitigs_fasta(unitigs: list[Unitig], path: str):
 
 
 def assemble_unitigs(codes_with_seps: np.ndarray, k: int, min_abundance: int,
-                     device: bool = True) -> list[Unitig]:
-    """Count solid k-mers and compact to unitigs."""
+                     device: bool = True, native: bool = True) -> list[Unitig]:
+    """Count solid k-mers and compact to unitigs.
+
+    Compaction runs in the native C++ walker (same algorithm and iteration
+    order as the Python implementation, byte-identical outputs) when the
+    library is available; ``native=False`` forces the Python path."""
     from haslr_tpu.kernels import kmer as kk
 
     if device:
         hi, lo, cnt = kk.count_kmers_device(codes_with_seps, k, min_abundance)
     else:
         hi, lo, cnt = kk.count_kmers_host(codes_with_seps, k, min_abundance)
+    if native and k <= 64:
+        from haslr_tpu import native as hx_native
+
+        out = hx_native.dbg_unitigs(hi, lo, cnt, k)
+        if out is not None:
+            seqs, kc, nk, links = out
+            unitigs = [
+                Unitig(i, seqs[i], int(kc[i]), 0, 0, [], int(nk[i]))
+                for i in range(len(seqs))
+            ]
+            for fu, fs, tu, ts in links:
+                unitigs[fu].links.append(
+                    ("+" if fs == 0 else "-", int(tu), "+" if ts == 0 else "-")
+                )
+            return unitigs
     g = DeBruijnGraph.from_pairs(hi, lo, cnt, k)
     return g.build_unitigs()

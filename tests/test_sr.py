@@ -116,6 +116,27 @@ def test_sr_assembly_from_reads(tmp_path):
     assert len(gk & ak) / len(gk) > 0.95
 
 
+def test_native_dbg_matches_python():
+    """The C++ unitig walker must produce byte-identical unitigs, counts
+    and links to the Python implementation."""
+    from haslr_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(2)
+    for k in (15, 31, 33, 49):
+        genome = _rand_seq(rng, 3000)
+        genome = genome[:1000] + genome[400:700] + genome[1000:]  # repeat
+        codes = cseq.encode(genome)
+        py = dbg.assemble_unitigs(codes, k, 1, device=False, native=False)
+        nat = dbg.assemble_unitigs(codes, k, 1, device=False, native=True)
+        assert len(py) == len(nat)
+        for a, b in zip(py, nat):
+            assert a.seq == b.seq
+            assert a.kc == b.kc and a.kc_positions == b.kc_positions
+            assert sorted(a.links) == sorted(b.links)
+
+
 def test_nooverlap(tmp_path):
     p = tmp_path / "u.fa"
     p.write_text(
