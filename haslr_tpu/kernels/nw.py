@@ -191,10 +191,13 @@ def _align_mapping(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
     B = reads.shape[0]
     T = R + D
     if use_pallas:
-        from haslr_tpu.kernels.nw_pallas import nw_dirs_pallas
+        # fused DP + in-kernel wavefront traceback: the direction tensor
+        # never leaves VMEM and the whole XLA traceback scan disappears
+        from haslr_tpu.kernels.nw_pallas import nw_mapping_pallas
 
-        dirs = nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W,
-                              match, mismatch, gap)
+        mapping = nw_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W,
+                                    match, mismatch, gap)
+        return mapping.astype(jnp.int16)
     else:
         dirs = _nw_scan_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
                               mismatch, gap)

@@ -1,16 +1,26 @@
-"""Pallas TPU kernel for the banded NW direction matrix.
+"""Pallas TPU kernels for banded NW: direction matrix and fused traceback.
 
 The hand-scheduled twin of :func:`haslr_tpu.kernels.nw._nw_scan_inner`:
-one grid program processes 8 reads (the VPU sublane dimension) through all
+one grid program processes a GROUP of reads (sublane dimension) through
 ``T = R + D`` anti-diagonals.  The key trick is that with band offsets
 moving by {0, 1} per step, the read/draft bases under the band form
 *sliding windows*: per step either the read window shifts right by one
 lane (band advanced along the read) or the draft window shifts left by one
-(band advanced along the draft), each pulling in a single (8, 1) column
-from VMEM — no gathers anywhere in the inner loop.
+(band advanced along the draft), each pulling in a single (GROUP, 1)
+column from VMEM — no gathers anywhere in the inner loop.
 
-All state (H rows, base windows) lives in registers/VMEM as (8, W) tiles;
-the direction rows stream to the (T+1, 8, W) output block.
+Two entry points:
+
+- :func:`nw_dirs_pallas` — DP only; streams the (T+1, B, W) direction
+  tensor to HBM (the XLA scan traceback consumes it).
+- :func:`nw_mapping_pallas` — **fused DP + traceback**: the direction
+  rows stay in VMEM scratch and a wavefront traceback (t descending; each
+  read moves exactly when ``t == i + j``) runs in the same program,
+  emitting the per-base (B, R) read→draft mapping directly.  The 100s-of-
+  MB direction tensor never touches HBM, and the per-program loop bound
+  is the *actual* max anti-diagonal of the group's reads (scalar-
+  prefetched), not the padded T — both the DP and the traceback stop at
+  real data.
 """
 
 from __future__ import annotations
@@ -67,12 +77,11 @@ def _lane_shift(h, off, fill):
     return res
 
 
-def _kernel(base_ref, reads_ref, drafts_ref, rlen_ref, dlen_ref, dirs_ref,
-            *, R, D, W, match, mismatch, gap):
-    T = R + D
+def _dp_phase(base_ref, reads_ref, drafts_ref, rl, dl, dirs_ref, t_hi,
+              *, R, D, W, match, mismatch, gap):
+    """Run the banded DP up to anti-diagonal ``t_hi`` (inclusive), writing
+    direction rows to ``dirs_ref`` (HBM output block or VMEM scratch)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
-    rl = rlen_ref[:]  # (GROUP, 1)
-    dl = dlen_ref[:]
 
     # Loop-carry inits must carry the natural {0,0} vector layout of the
     # loop-body outputs; constant (or constant-folded) inits get replicated
@@ -137,7 +146,68 @@ def _kernel(base_ref, reads_ref, drafts_ref, rlen_ref, dlen_ref, dirs_ref,
         dirs_ref[t] = d.astype(jnp.uint8)
         return h_prev1, h, rb, db
 
-    jax.lax.fori_loop(1, T + 1, step, (h_init, h0, rb0, db0), unroll=False)
+    jax.lax.fori_loop(1, t_hi + 1, step, (h_init, h0, rb0, db0),
+                      unroll=False)
+
+
+def _kernel(base_ref, reads_ref, drafts_ref, rlen_ref, dlen_ref, dirs_ref,
+            *, R, D, W, match, mismatch, gap):
+    _dp_phase(base_ref, reads_ref, drafts_ref, rlen_ref[:], dlen_ref[:],
+              dirs_ref, R + D, R=R, D=D, W=W, match=match,
+              mismatch=mismatch, gap=gap)
+
+
+def _fused_kernel(base_ref, tmax_ref, reads_ref, drafts_ref, rlen_ref,
+                  dlen_ref, map_ref, dirs_vmem, *, R, D, W, match, mismatch,
+                  gap):
+    """DP into VMEM scratch, then wavefront traceback → (GROUP, R) mapping.
+
+    Traceback walks ``t`` from the group's max anti-diagonal down to 1;
+    a read takes its move exactly when ``t == i + j`` (every move strictly
+    decreases ``i + j``), so one descending sweep replays every read's
+    full walk in lockstep without per-read control flow.  Mapping encoding
+    matches :func:`haslr_tpu.kernels.nw.traceback_batch`.
+    """
+    rl = rlen_ref[:]  # (GROUP, 1) int32
+    dl = dlen_ref[:]
+    t_max = tmax_ref[pl.program_id(0)]
+    _dp_phase(base_ref, reads_ref, drafts_ref, rl, dl, dirs_vmem, t_max,
+              R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap)
+
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, R), 1)
+    # data-dependent init (see layout note in _dp_phase)
+    mapping0 = jnp.full((GROUP, R), -1, jnp.int32) + jnp.minimum(
+        reads_ref[:, 0:R], 0
+    )
+
+    def tb_step(k, carry):
+        i, j, mapping = carry
+        t = t_max - k
+        active = ((i > 0) | (j > 0)) & (i + j == t)
+        lane = j - base_ref[t]
+        in_band = (lane >= 0) & (lane < W)
+        row = dirs_vmem[t].astype(jnp.int32)  # (GROUP, W)
+        picked = jnp.sum(
+            jnp.where(lane_w == lane, row, 0), axis=1, keepdims=True
+        )
+        d = jnp.where(in_band, picked, jnp.int32(LEFT))
+        d = jnp.where(i == 0, jnp.int32(LEFT), d)
+        d = jnp.where(j == 0, jnp.int32(UP), d)
+        is_diag = active & (d == DIAG)
+        is_up = active & (d == UP)
+        is_left = active & (d == LEFT)
+        write = is_diag | is_up
+        val = jnp.where(is_diag, j - 1, -(j + 2))
+        mapping = jnp.where((col_r == i - 1) & write, val, mapping)
+        i = i - (is_diag | is_up)
+        j = j - (is_diag | is_left)
+        return i, j, mapping
+
+    _, _, mapping = jax.lax.fori_loop(
+        0, t_max, tb_step, (rl, dl, mapping0), unroll=False
+    )
+    map_ref[:] = mapping
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
@@ -178,4 +248,51 @@ def nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
         drafts.astype(jnp.int32),
         r_lens.astype(jnp.int32).reshape(B, 1),
         d_lens.astype(jnp.int32).reshape(B, 1),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def nw_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
+                      mismatch, gap, interpret=False):
+    """Fused banded-NW DP + traceback; returns the (B, R) mapping (int32,
+    encoding of :func:`haslr_tpu.kernels.nw.traceback_batch`) with the
+    direction tensor confined to VMEM scratch (B % GROUP == 0)."""
+    B = reads.shape[0]
+    assert B % GROUP == 0
+    T = R + D
+    base = jnp.asarray(band_bases(R, D, W), dtype=jnp.int32)
+    rl = r_lens.astype(jnp.int32)
+    dl = d_lens.astype(jnp.int32)
+    group_tmax = (rl + dl).reshape(B // GROUP, GROUP).max(axis=1)
+    # every group runs at least one step so fori_loop bounds stay trivial
+    group_tmax = jnp.maximum(group_tmax, 1)
+    kernel = functools.partial(
+        _fused_kernel, R=R, D=D, W=W, match=match, mismatch=mismatch,
+        gap=gap,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // GROUP,),
+            in_specs=[
+                pl.BlockSpec((GROUP, R), lambda i, *_: (i, 0)),
+                pl.BlockSpec((GROUP, D), lambda i, *_: (i, 0)),
+                pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((GROUP, R), lambda i, *_: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((T + 1, GROUP, W), jnp.uint8),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R), jnp.int32),
+        interpret=interpret,
+    )(
+        base,
+        group_tmax,
+        reads.astype(jnp.int32),
+        drafts.astype(jnp.int32),
+        rl.reshape(B, 1),
+        dl.reshape(B, 1),
     )

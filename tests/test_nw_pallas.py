@@ -7,7 +7,11 @@ import pytest
 import jax.numpy as jnp
 
 from haslr_tpu.kernels import nw
-from haslr_tpu.kernels.nw_pallas import GROUP, nw_dirs_pallas
+from haslr_tpu.kernels.nw_pallas import (
+    GROUP,
+    nw_dirs_pallas,
+    nw_mapping_pallas,
+)
 
 
 def test_pallas_dirs_match_scan_interpret():
@@ -35,3 +39,44 @@ def test_pallas_dirs_match_scan_interpret():
             np.testing.assert_array_equal(
                 ref[t, b][valid], got[t, b][valid]
             )
+
+def test_fused_mapping_matches_xla_traceback_interpret():
+    """The fused DP+traceback kernel reproduces the XLA mapping bit-exactly,
+    including indel-heavy reads, empty padding rows, and the dynamic
+    per-group t_max bound."""
+    B, S, W = 2 * GROUP, 256, 128
+    rng = np.random.default_rng(7)
+    reads = np.full((B, S), 4, np.uint8)
+    drafts = np.full((B, S), 4, np.uint8)
+    r_lens = np.zeros(B, np.int32)
+    d_lens = np.zeros(B, np.int32)
+    for b in range(B - 4):  # last 4 rows stay pure padding
+        dl = int(rng.integers(50, S - 10))
+        d = rng.integers(0, 4, dl).astype(np.uint8)
+        r = []
+        for ch in d:
+            x = rng.random()
+            if x < 0.03:
+                continue  # deletion
+            if x < 0.06:
+                r.append(int(rng.integers(0, 4)))  # insertion
+            if x < 0.10:
+                r.append(int(rng.integers(0, 4)))  # substitution
+                continue
+            r.append(int(ch))
+        r = np.array(r[:S], np.uint8)
+        if abs(len(r) - dl) >= W // 2 - 4:
+            r = r[:dl]
+        reads[b, : len(r)] = r
+        drafts[b, :dl] = d
+        r_lens[b] = len(r)
+        d_lens[b] = dl
+    args = (
+        jnp.asarray(reads), jnp.asarray(r_lens),
+        jnp.asarray(drafts), jnp.asarray(d_lens),
+    )
+    ref = np.asarray(nw._align_mapping(*args, S, S, W, 5, -4, -8, False))
+    got = np.asarray(
+        nw_mapping_pallas(*args, S, S, W, 5, -4, -8, True)
+    ).astype(np.int16)
+    np.testing.assert_array_equal(ref, got)
