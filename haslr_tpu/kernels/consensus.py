@@ -235,11 +235,12 @@ def _one_round(window_codes, drafts, match, mismatch, gap,
                 d_lens[k] = len(d)
                 win_idx[k] = wi
             if device_pileup:
-                # fully device-resident: the mapping never leaves the chip
-                mapping_dev = nw.align_mapping_device_raw(
-                    reads, r_lens, dr, d_lens, W, match, mismatch, gap
+                # fully device-resident, single dispatch: align + scatter
+                # fused so the mapping never leaves the chip
+                pile.align_add_chunk(
+                    reads, r_lens, dr, d_lens, win_idx, W, match, mismatch,
+                    gap, nw.use_pallas_for(B, S, S, W),
                 )
-                pile.add_chunk_device(mapping_dev, reads, r_lens, win_idx)
             else:
                 mapping = nw.align_mapping_device(
                     reads, r_lens, dr, d_lens, W, match, mismatch, gap

@@ -176,9 +176,8 @@ def nw_scores(reads, r_lens, drafts, d_lens, W=128, match=5, mismatch=-4,
     return jnp.where((r_lens == 0) & (d_lens == 0), 0, best)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
-def _align_mapping(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
-                   gap, use_pallas=False):
+def _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
+                         mismatch, gap, use_pallas=False):
     """DP + traceback entirely on device; returns mapping (B, R) int32.
 
     The direction tensor (T+1, B, W) never leaves the device — essential
@@ -236,8 +235,20 @@ def _align_mapping(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
     return mapping[:, :R].astype(jnp.int16)
 
 
+_align_mapping = functools.partial(
+    jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10)
+)(_align_mapping_inner)
+
+
 def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
+
+
+def use_pallas_for(B: int, R: int, D: int, W: int) -> bool:
+    """Whether the fused Mosaic kernel handles this shape: TPU backend,
+    whole GROUPs, and the per-program VMEM direction scratch within
+    budget."""
+    return _on_tpu() and B % 32 == 0 and (R + D + 1) * 32 * W <= 8 << 20
 
 
 def align_mapping_device_raw(
@@ -256,7 +267,7 @@ def align_mapping_device_raw(
     when the batch fits its 32-read grouping."""
     R = reads.shape[1]
     D = drafts.shape[1]
-    use_pallas = _on_tpu() and reads.shape[0] % 32 == 0 and (R + D + 1) * 32 * W <= 8 << 20
+    use_pallas = use_pallas_for(reads.shape[0], R, D, W)
     return _align_mapping(
         jnp.asarray(reads),
         jnp.asarray(r_lens, dtype=jnp.int32),

@@ -13,9 +13,13 @@ across assemblies (remote TPU compiles are expensive); all scatters use
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from haslr_tpu.kernels.nw import _align_mapping_inner
 
 DUMP = np.int32(1 << 30)
 
@@ -27,9 +31,8 @@ def _pad_pow2(n: int, floor: int = 1024) -> int:
     return p
 
 
-@jax.jit
-def _scatter_chunk(counts, cov_diff, ins1, ins2, n_reads, mapping, reads,
-                   r_lens, woff, woff1, win_idx):
+def _scatter_chunk_inner(counts, cov_diff, ins1, ins2, n_reads, mapping,
+                         reads, r_lens, woff, woff1, win_idx):
     """Accumulate one (B, S) chunk into the flat vote tables."""
     B, S = mapping.shape
     col = jnp.arange(S)[None, :]
@@ -79,31 +82,89 @@ def _scatter_chunk(counts, cov_diff, ins1, ins2, n_reads, mapping, reads,
     return counts, cov_diff, ins1, ins2, n_reads
 
 
+_scatter_chunk = jax.jit(_scatter_chunk_inner)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(12, 13, 14, 15, 16),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def _align_scatter(counts, cov_diff, ins1, ins2, n_reads, reads, r_lens,
+                   drafts, d_lens, woff, woff1, win_idx, W, match, mismatch,
+                   gap, use_pallas):
+    """Fused banded-NW align + pileup scatter: ONE device dispatch per
+    chunk (the mapping tensor lives only inside this computation), with
+    the vote tables donated so accumulation is in-place."""
+    R = reads.shape[1]
+    D = drafts.shape[1]
+    mapping = _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W,
+                                   match, mismatch, gap, use_pallas)
+    return _scatter_chunk_inner(counts, cov_diff, ins1, ins2, n_reads,
+                                mapping, reads, r_lens, woff, woff1,
+                                win_idx)
+
+
 @jax.jit
-def _vote(counts, cov_diff, ins1, ins2, draft_flat, base_cov_idx,
-          ins_cov_idx):
-    """Majority vote over the flat tables; returns the compact call
-    arrays the host interleaves into consensus strings."""
+def _vote_packed(counts, cov_diff, ins1, ins2, draft_flat, d_lens_pad):
+    """Majority vote with device-computed coverage indices; returns ONE
+    packed uint8 array (call in bits 0-1, emit flag in bit 2) laid out as
+    ``[base rows | ins1 rows | ins2 rows]`` — one bulk transfer per polish
+    round.  ``d_lens_pad`` is the per-window draft length, zero-padded to
+    the (static) window-table size; zero-length pad windows drop out of
+    ``searchsorted(side="right")`` naturally.
+
+    Index identities (off1[w] = off[w] + w for the +1-per-window layout):
+    base row r of window w sits at coverage index ``r + w``; insertion row
+    r1 covers ``r1 - (pos1 > 0)``.
+    """
+    n_win = d_lens_pad.shape[0]
+    total = counts.shape[0]
+    total1 = cov_diff.shape[0]
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(d_lens_pad).astype(jnp.int32)]
+    )
+    rows = jnp.arange(total, dtype=jnp.int32)
+    win = jnp.clip(
+        jnp.searchsorted(off, rows, side="right").astype(jnp.int32) - 1,
+        0, n_win - 1,
+    )
+    base_cov_idx = jnp.clip(rows + win, 0, total1 - 1)
+
+    off1 = off + jnp.arange(n_win + 1, dtype=jnp.int32)
+    rows1 = jnp.arange(total1, dtype=jnp.int32)
+    win1 = jnp.clip(
+        jnp.searchsorted(off1, rows1, side="right").astype(jnp.int32) - 1,
+        0, n_win - 1,
+    )
+    pos1 = rows1 - off1[win1]
+    ins_cov_idx = jnp.clip(rows1 - (pos1 > 0), 0, total1 - 1)
+
     coverage = jnp.cumsum(cov_diff)
     base_sum = counts.sum(axis=1)
     base_best = counts.argmax(axis=1)
-    rows = jnp.arange(counts.shape[0])
     base_best_cnt = counts[rows, base_best]
     draft_cnt = counts[rows, draft_flat.astype(jnp.int32)]
     base_call = jnp.where(
         draft_cnt == base_best_cnt, draft_flat.astype(jnp.int32), base_best
-    ).astype(jnp.uint8)
-    cov_at_base = coverage[base_cov_idx]
-    emit_base = base_best_cnt > (cov_at_base - base_sum)
+    )
+    emit_base = base_best_cnt > (coverage[base_cov_idx] - base_sum)
 
     ins1_sum = ins1.sum(axis=1)
     ins2_sum = ins2.sum(axis=1)
     cov_prev = coverage[ins_cov_idx]
     emit_i1 = ins1_sum * 2 > jnp.maximum(cov_prev, 1)
     emit_i2 = (ins2_sum * 2 > jnp.maximum(cov_prev, 1)) & emit_i1
-    ins1_call = ins1.argmax(axis=1).astype(jnp.uint8)
-    ins2_call = ins2.argmax(axis=1).astype(jnp.uint8)
-    return base_call, emit_base, ins1_call, emit_i1, ins2_call, emit_i2
+    packed = jnp.concatenate([
+        (base_call | (emit_base.astype(jnp.int32) << 2)).astype(jnp.uint8),
+        (ins1.argmax(axis=1) | (emit_i1.astype(jnp.int32) << 2)).astype(
+            jnp.uint8
+        ),
+        (ins2.argmax(axis=1) | (emit_i2.astype(jnp.int32) << 2)).astype(
+            jnp.uint8
+        ),
+    ])
+    return packed
 
 
 class DevicePileup:
@@ -134,34 +195,42 @@ class DevicePileup:
             jnp.asarray(win_idx, jnp.int32),
         )
 
+    def align_add_chunk(self, reads, r_lens, drafts, d_lens, win_idx, W,
+                        match, mismatch, gap, use_pallas):
+        """Fused path: banded-NW align + scatter in one device dispatch."""
+        (self.counts, self.cov_diff, self.ins1, self.ins2,
+         self.n_reads_dev) = _align_scatter(
+            self.counts, self.cov_diff, self.ins1, self.ins2,
+            self.n_reads_dev, jnp.asarray(reads),
+            jnp.asarray(r_lens, jnp.int32), jnp.asarray(drafts),
+            jnp.asarray(d_lens, jnp.int32),
+            jnp.asarray(self.off[win_idx], jnp.int32),
+            jnp.asarray(self.off1[win_idx], jnp.int32),
+            jnp.asarray(win_idx, jnp.int32),
+            W, match, mismatch, gap, use_pallas,
+        )
+
     def vote(self, drafts):
+        """Packed single-transfer vote (see :func:`_vote_packed`)."""
         n_win = len(drafts)
         draft_flat = np.zeros(self._total, np.uint8)
         if n_win and self.off[-1]:
             cat = np.concatenate(drafts)
             draft_flat[: len(cat)] = cat
-        # coverage index per base-table row: off1[win] + pos_in_window;
-        # per ins-table row: off1[win] + max(pos-1, 0)
-        widths = np.diff(self.off)
-        row_win = np.repeat(np.arange(n_win), widths)
-        rows = np.arange(int(self.off[-1]))
-        base_cov_idx = np.zeros(self._total, np.int64)
-        base_cov_idx[rows] = self.off1[row_win] + (
-            rows - np.repeat(self.off[:-1], widths)
+        d_lens_pad = np.zeros(len(self.n_reads_dev), np.int32)
+        d_lens_pad[:n_win] = self.d_lens
+        packed = np.asarray(
+            _vote_packed(
+                self.counts, self.cov_diff, self.ins1, self.ins2,
+                jnp.asarray(draft_flat), jnp.asarray(d_lens_pad),
+            )
         )
-        widths1 = np.diff(self.off1)
-        row_win1 = np.repeat(np.arange(n_win), widths1)
-        rows1 = np.arange(int(self.off1[-1]))
-        pos1 = rows1 - np.repeat(self.off1[:-1], widths1)
-        ins_cov_idx = np.zeros(self._total1, np.int64)
-        ins_cov_idx[rows1] = self.off1[row_win1] + np.maximum(pos1 - 1, 0)
-        out = _vote(
-            self.counts, self.cov_diff, self.ins1, self.ins2,
-            jnp.asarray(draft_flat), jnp.asarray(base_cov_idx),
-            jnp.asarray(ins_cov_idx),
-        )
-        (base_call, emit_base, ins1_call, emit_i1, ins2_call,
-         emit_i2) = [np.asarray(x) for x in out]
+        base = packed[: self._total]
+        i1 = packed[self._total : self._total + self._total1]
+        i2 = packed[self._total + self._total1 :]
+        base_call, emit_base = base & 3, (base & 4) != 0
+        ins1_call, emit_i1 = i1 & 3, (i1 & 4) != 0
+        ins2_call, emit_i2 = i2 & 3, (i2 & 4) != 0
         n_reads = np.asarray(self.n_reads_dev)[:n_win] if n_win else []
         results = []
         for w, d in enumerate(drafts):
@@ -170,7 +239,7 @@ class DevicePileup:
                 continue
             Dw = len(d)
             b0, b1 = self.off[w], self.off[w + 1]
-            i0, i1 = self.off1[w], self.off1[w + 1]
+            i0, i1_ = self.off1[w], self.off1[w + 1]
             vals = np.empty(2 + 3 * Dw, dtype=np.uint8)
             keep = np.zeros(2 + 3 * Dw, dtype=bool)
             vals[0] = ins1_call[i0]
@@ -179,9 +248,9 @@ class DevicePileup:
             keep[1] = emit_i2[i0]
             vals[2::3] = base_call[b0:b1]
             keep[2::3] = emit_base[b0:b1]
-            vals[3::3] = ins1_call[i0 + 1 : i1]
-            keep[3::3] = emit_i1[i0 + 1 : i1]
-            vals[4::3] = ins2_call[i0 + 1 : i1]
-            keep[4::3] = emit_i2[i0 + 1 : i1]
+            vals[3::3] = ins1_call[i0 + 1 : i1_]
+            keep[3::3] = emit_i1[i0 + 1 : i1_]
+            vals[4::3] = ins2_call[i0 + 1 : i1_]
+            keep[4::3] = emit_i2[i0 + 1 : i1_]
             results.append(vals[keep])
         return results
