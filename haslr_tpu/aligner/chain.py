@@ -32,10 +32,20 @@ def chain_anchors(
     Returns a list of chains, each ``(score, anchor_indices)`` with indices
     into the *sorted* order; chains are disjoint over anchors, emitted
     best-first.  Input arrays must be pre-sorted by (t_pos, q_pos).
+
+    Dispatches to the native C++ DP (haslr_tpu.native.chain_anchors_native,
+    same semantics) when the library is available.
     """
     n = len(t_pos)
     if n == 0:
         return []
+    from haslr_tpu import native
+
+    res = native.chain_anchors_native(
+        t_pos, q_pos, k, window, max_gap, min_score, min_anchors
+    )
+    if res is not None:
+        return res
     f = np.full(n, float(k))
     pred = np.full(n, -1, dtype=np.int64)
     for i in range(1, n):
@@ -57,7 +67,7 @@ def chain_anchors(
     # anchor feeding the primary chain spawns a phantom duplicate chain
     # carrying the primary's score)
     used = np.zeros(n, dtype=bool)
-    order = np.argsort(-f)
+    order = np.argsort(-f, kind="stable")
     chains = []
     for i in order:
         if used[i] or f[i] < min_score:

@@ -173,7 +173,12 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2):
         buckets.setdefault(S, []).append(i)
     for S, idxs in sorted(buckets.items()):
         W = 128 if S <= 1024 else (256 if S <= 2048 else 512)
-        max_b = max(32, (256 << 20) // ((2 * S + 1) * W))
+        # power-of-two chunk size so every full chunk reuses ONE compiled
+        # shape per bucket (remote TPU compiles are minutes each; the
+        # persistent cache then covers subsequent runs)
+        max_b = 32
+        while max_b * 2 * (2 * S + 1) * W <= (256 << 20):
+            max_b *= 2
         for lo in range(0, len(idxs), max_b):
             chunk = idxs[lo : lo + max_b]
             B = 32

@@ -16,7 +16,6 @@ reference Longread.cpp:268).
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 
@@ -183,51 +182,24 @@ def map_read(
     return records
 
 
-def map_reads(
-    contig_fasta: str,
-    reads_fasta: str,
-    out_paf: str,
-    read_type: str = "pacbio",
-    min_chain_score: float = 40.0,
-    threads: int = 1,
-) -> int:
-    """Map all reads; writes PAF; returns the record count.
+def _seed_chain_segments(idx, contig_codes, reads, min_chain_score):
+    """Phase 1 for a stream of reads: seed + chain + decompose chains into
+    literal parts and NW segments.  Pure host work (numpy + the native
+    chaining DP) — no device involvement, so it shards across plain
+    worker processes while the device stays with the caller.
 
-    Equivalent of ``minimap2 -t T --secondary=no -c {preset} contigs lr``.
-    ``threads > 1`` shards the read stream across worker processes, each
-    with a replica of the contig index — the same structure that shards
-    reads across hosts on a pod slice (SURVEY.md §2.3), here at
-    process granularity.
+    ``reads`` yields ``(ri, name, codes)`` with ``ri`` the global read
+    index (used to restore file order at emission).  Returns ``(pending,
+    segments)``; pending rows are ``(ri, name, rlen, rel, cid, q_arr,
+    t_arr, parts, seg_base, score, f2)`` with NW part indices relative to
+    ``seg_base``.
     """
-    if threads > 1:
-        return _map_reads_sharded(
-            contig_fasta, reads_fasta, out_paf, read_type,
-            min_chain_score, threads,
-        )
-    from haslr_tpu.aligner.extend import (
-        assemble_parts,
-        batch_align_segments,
-        chain_to_segments,
-    )
+    from haslr_tpu.aligner.extend import chain_to_segments
 
-    k, w, hpc = PRESETS[read_type]
-    contig_names = []
-    contig_codes = []
-    for rec in cio.read_fastx(contig_fasta):
-        contig_names.append(rec.name)
-        contig_codes.append(cseq.encode(rec.seq))
-    idx = MinimizerIndex.build(contig_codes, k, w, hpc)
-
-    # phase 1: seed + chain every read; decompose chains into literal
-    # parts and NW segments (collected globally)
-    pending = []   # (name, rlen, rel, cid, q_arr, t_arr, parts, seg_base, score, f2)
+    pending = []
     segments = []
-    read_order = []
-    for rec in cio.read_fastx(reads_fasta):
-        codes = cseq.encode(rec.seq)
+    for ri, name, codes in reads:
         rlen = len(codes)
-        read_recs = []
-        read_order.append((rec.name, read_recs))
         if rlen < idx.k:
             continue
         rc = cseq.revcomp_codes(codes)
@@ -243,94 +215,125 @@ def map_reads(
                 exact_anchors=not idx.hpc,
             )
             pending.append(
-                (rec.name, rlen, rel, cid, q_arr, t_arr, parts,
-                 len(segments), score, f2, read_recs)
+                (ri, name, rlen, rel, cid, q_arr, t_arr, parts,
+                 len(segments), score, f2)
             )
             segments.extend(segs)
+    return pending, segments
 
-    # phase 2: one batched device alignment over every segment of every read
-    seg_results = batch_align_segments(segments)
 
-    # phase 3: assemble CIGARs and emit
+def _emit_all(pending, seg_results, contig_names, contig_codes, out_paf):
+    """Phase 3: assemble CIGARs, restore read-file order, write PAF."""
+    from haslr_tpu.aligner.extend import assemble_parts
+
+    by_read = {}
+    for (ri, name, rlen, rel, cid, q_arr, t_arr, parts, seg_base, score,
+         f2) in pending:
+        ops, lens, n_match = assemble_parts(parts, seg_results[seg_base:])
+        by_read.setdefault(ri, []).append(
+            _emit_record(
+                name, rlen, rel, cid, contig_names, contig_codes[cid],
+                q_arr, t_arr, ops, lens, n_match, score, f2,
+            )
+        )
     n = 0
     with open(out_paf, "w") as fp:
-        for (name, rlen, rel, cid, q_arr, t_arr, parts, seg_base, score,
-             f2, read_recs) in pending:
-            ops, lens, n_match = assemble_parts(
-                parts, seg_results[seg_base:]
-            )
-            read_recs.append(
-                _emit_record(
-                    name, rlen, rel, cid, contig_names, contig_codes[cid],
-                    q_arr, t_arr, ops, lens, n_match, score, f2,
-                )
-            )
-        for name, read_recs in read_order:
-            read_recs.sort(key=lambda r: (r.q_start, r.q_end))
-            for pr in read_recs:
+        for ri in sorted(by_read):
+            recs = by_read[ri]
+            recs.sort(key=lambda r: (r.q_start, r.q_end))
+            for pr in recs:
                 fp.write(pr.to_line() + "\n")
                 n += 1
     return n
 
 
-def _shard_worker(args):
-    (contig_fasta, reads_fasta, shard_paf, read_type, min_chain_score,
-     shard_idx, n_shards) = args
-    # workers must stay on local CPU: each would otherwise claim the TPU
-    import jax
-
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
-    shard_reads = shard_paf + ".reads.fa"
-    with open(shard_reads, "w") as fp:
-        for i, rec in enumerate(cio.read_fastx(reads_fasta)):
-            if i % n_shards == shard_idx:
-                fp.write(f">{rec.name}\n{rec.seq}\n")
-    n = map_reads(
-        contig_fasta, shard_reads, shard_paf, read_type, min_chain_score
-    )
-    os.remove(shard_reads)
-    return n
+def _load_contigs(contig_fasta):
+    contig_names = []
+    contig_codes = []
+    for rec in cio.read_fastx(contig_fasta):
+        contig_names.append(rec.name)
+        contig_codes.append(cseq.encode(rec.seq))
+    return contig_names, contig_codes
 
 
-def _map_reads_sharded(
-    contig_fasta, reads_fasta, out_paf, read_type, min_chain_score, threads
-):
-    """Data-parallel read mapping over worker processes.
+def map_reads(
+    contig_fasta: str,
+    reads_fasta: str,
+    out_paf: str,
+    read_type: str = "pacbio",
+    min_chain_score: float = 40.0,
+    threads: int = 1,
+) -> int:
+    """Map all reads; writes PAF; returns the record count.
 
-    Reads are round-robin sharded; each worker builds its own index
-    replica (cheap relative to mapping) and writes a shard PAF; shards
-    concatenate in read order via a merge by query name order of
-    appearance.  On a multi-host pod the same sharding runs per host with
-    the index replicated (SURVEY.md §2.3); support counts then merge via
-    psum in the assembler (haslr_tpu.dist).
+    Equivalent of ``minimap2 -t T --secondary=no -c {preset} contigs lr``.
+    Three phases: (1) seed + chain, host-only, sharded across ``threads``
+    worker processes (round-robin over reads, index replicated — the same
+    structure that shards reads across hosts on a pod slice, SURVEY.md
+    §2.3); (2) ONE batched device alignment over every NW segment of every
+    read, in this process, so the accelerator serves the whole read
+    stream; (3) CIGAR assembly + PAF emission in read-file order.
     """
+    k, w, hpc = PRESETS[read_type]
+    contig_names, contig_codes = _load_contigs(contig_fasta)
+    idx = MinimizerIndex.build(contig_codes, k, w, hpc)
+
+    if threads > 1:
+        pending, segments = _seed_chain_shards(
+            contig_fasta, reads_fasta, read_type, min_chain_score, threads
+        )
+    else:
+        def reads():
+            for ri, rec in enumerate(cio.read_fastx(reads_fasta)):
+                yield ri, rec.name, cseq.encode(rec.seq)
+
+        pending, segments = _seed_chain_segments(
+            idx, contig_codes, reads(), min_chain_score
+        )
+
+    from haslr_tpu.aligner.extend import batch_align_segments
+
+    seg_results = batch_align_segments(segments)
+    return _emit_all(
+        pending, seg_results, contig_names, contig_codes, out_paf
+    )
+
+
+def _shard_worker(args):
+    (contig_fasta, reads_fasta, read_type, min_chain_score, shard_idx,
+     n_shards) = args
+    # phase 1 only: pure host work, no jax import, no device claim
+    k, w, hpc = PRESETS[read_type]
+    _, contig_codes = _load_contigs(contig_fasta)
+    idx = MinimizerIndex.build(contig_codes, k, w, hpc)
+
+    def reads():
+        for ri, rec in enumerate(cio.read_fastx(reads_fasta)):
+            if ri % n_shards == shard_idx:
+                yield ri, rec.name, cseq.encode(rec.seq)
+
+    return _seed_chain_segments(idx, contig_codes, reads(), min_chain_score)
+
+
+def _seed_chain_shards(
+    contig_fasta, reads_fasta, read_type, min_chain_score, threads
+):
+    """Run phase 1 across worker processes; returns merged (pending,
+    segments) with segment bases rebased onto the concatenated list."""
     import multiprocessing as mp
 
-    shard_pafs = [f"{out_paf}.shard{i}" for i in range(threads)]
     args = [
-        (contig_fasta, reads_fasta, shard_pafs[i], read_type,
-         min_chain_score, i, threads)
+        (contig_fasta, reads_fasta, read_type, min_chain_score, i, threads)
         for i in range(threads)
     ]
     ctx = mp.get_context("spawn")
     with ctx.Pool(threads) as pool:
-        counts = pool.map(_shard_worker, args)
-    # merge shards preserving the original read order (the assembler's PAF
-    # reader groups consecutive lines per read)
-    per_name = {}
-    for sp in shard_pafs:
-        with open(sp) as fh:
-            for line in fh:
-                name = line.split("\t", 1)[0]
-                per_name.setdefault(name, []).append(line)
-        os.remove(sp)
-    n = 0
-    with open(out_paf, "w") as out:
-        for rec in cio.read_fastx(reads_fasta):
-            for line in per_name.get(rec.name, ()):
-                out.write(line)
-                n += 1
-    return n
+        shards = pool.map(_shard_worker, args)
+    pending = []
+    segments = []
+    for sh_pending, sh_segments in shards:
+        base = len(segments)
+        for row in sh_pending:
+            pending.append(row[:8] + (row[8] + base,) + row[9:])
+        segments.extend(sh_segments)
+    return pending, segments

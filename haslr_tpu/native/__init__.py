@@ -19,6 +19,7 @@ _SO = os.path.join(_DIR, "libhaslr.so")
 _SOURCES = [
     os.path.join(_DIR, "fastx.cpp"),
     os.path.join(_DIR, "dbg.cpp"),
+    os.path.join(_DIR, "chain.cpp"),
 ]
 _lib = None
 _tried = False
@@ -83,8 +84,62 @@ def get_lib():
     lib.hx_dbg_links.argtypes = [ctypes.c_void_p]
     lib.hx_dbg_free.restype = None
     lib.hx_dbg_free.argtypes = [ctypes.c_void_p]
+    # anchor chaining
+    lib.hx_chain_run.restype = ctypes.c_void_p
+    lib.hx_chain_run.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int,
+    ]
+    lib.hx_chain_n.restype = ctypes.c_uint64
+    lib.hx_chain_n.argtypes = [ctypes.c_void_p]
+    lib.hx_chain_scores.restype = ctypes.POINTER(ctypes.c_double)
+    lib.hx_chain_scores.argtypes = [ctypes.c_void_p]
+    lib.hx_chain_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.hx_chain_offsets.argtypes = [ctypes.c_void_p]
+    lib.hx_chain_indices.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.hx_chain_indices.argtypes = [ctypes.c_void_p]
+    lib.hx_chain_free.restype = None
+    lib.hx_chain_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def chain_anchors_native(t_pos, q_pos, k, window, max_gap, min_score,
+                         min_anchors):
+    """Native chaining DP; returns [(score, indices)] or None when the
+    library is unavailable (callers fall back to the numpy DP)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(t_pos, dtype=np.int64)
+    q = np.ascontiguousarray(q_pos, dtype=np.int64)
+    h = lib.hx_chain_run(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(t), k, window, max_gap, float(min_score), min_anchors,
+    )
+    if not h:
+        return None
+    try:
+        nc = lib.hx_chain_n(h)
+        if nc == 0:
+            return []
+        scores = np.ctypeslib.as_array(
+            lib.hx_chain_scores(h), shape=(nc,)
+        ).copy()
+        offs = np.ctypeslib.as_array(
+            lib.hx_chain_offsets(h), shape=(nc + 1,)
+        ).copy()
+        idx = np.ctypeslib.as_array(
+            lib.hx_chain_indices(h), shape=(int(offs[-1]),)
+        ).copy()
+        return [
+            (float(scores[i]), idx[offs[i] : offs[i + 1]])
+            for i in range(nc)
+        ]
+    finally:
+        lib.hx_chain_free(h)
 
 
 def dbg_unitigs(hi, lo, cnt, k: int):

@@ -147,3 +147,35 @@ def test_map_reads_end_to_end(tmp_path):
     assert n >= 5
     recs = list(cio.read_paf(str(tmp_path / "m.paf")))
     assert all(r.cigar for r in recs)
+
+
+def test_chain_native_matches_python(monkeypatch):
+    """The C++ chaining DP and the numpy fallback produce identical
+    chains (scores and anchor index lists) on fuzzed anchor sets."""
+    from haslr_tpu import native
+    from haslr_tpu.aligner import chain as achain
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n = int(rng.integers(1, 300))
+        # a noisy diagonal plus uniform noise anchors, sorted by (t, q)
+        diag = rng.integers(0, 20_000, size=n // 2)
+        t1 = diag + rng.integers(-30, 30, size=len(diag))
+        q1 = diag + rng.integers(-30, 30, size=len(diag))
+        t2 = rng.integers(0, 20_000, size=n - len(diag))
+        q2 = rng.integers(0, 20_000, size=n - len(diag))
+        t = np.concatenate([t1, t2])
+        q = np.concatenate([q1, q2])
+        order = np.lexsort((q, t))
+        t, q = t[order].astype(np.int64), q[order].astype(np.int64)
+        nat = achain.chain_anchors(t, q, k=17)
+        monkeypatch.setattr(native, "chain_anchors_native",
+                            lambda *a, **kw: None)
+        py = achain.chain_anchors(t, q, k=17)
+        monkeypatch.undo()
+        assert len(nat) == len(py), trial
+        for (s1, i1), (s2, i2) in zip(nat, py):
+            assert s1 == pytest.approx(s2, abs=1e-9)
+            assert np.array_equal(i1, i2)
