@@ -171,6 +171,12 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2):
             results[i] = nw_cigar(q, t, match, mismatch, gap)
             continue
         buckets.setdefault(S, []).append(i)
+    from haslr_tpu import native
+
+    # submit every chunk asynchronously (jax arrays are futures: uploads,
+    # DPs and tracebacks of later chunks overlap earlier transfers), then
+    # collect + convert
+    in_flight = []
     for S, idxs in sorted(buckets.items()):
         W = 128 if S <= 1024 else (256 if S <= 2048 else 512)
         # power-of-two chunk size so every full chunk reuses ONE compiled
@@ -194,9 +200,23 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2):
                 drafts[k, : len(t)] = t
                 r_lens[k] = len(q)
                 d_lens[k] = len(t)
-            mapping = knw.align_mapping_device(
+            mapping_dev = knw.align_mapping_device_raw(
                 reads, r_lens, drafts, d_lens, W, match, mismatch, gap
             )
+            in_flight.append(
+                (chunk, mapping_dev, reads, drafts, r_lens, d_lens)
+            )
+    for chunk, mapping_dev, reads, drafts, r_lens, d_lens in in_flight:
+        mapping = np.asarray(mapping_dev)
+        rows = native.mapping_cigars_native(
+            mapping[: len(chunk)], reads[: len(chunk)],
+            drafts[: len(chunk)], r_lens[: len(chunk)],
+            d_lens[: len(chunk)],
+        )
+        if rows is not None:
+            for k, i in enumerate(chunk):
+                results[i] = rows[k]
+        else:
             for k, i in enumerate(chunk):
                 q, t = segments[i]
                 results[i] = mapping_to_cigar(mapping[k], q, t)

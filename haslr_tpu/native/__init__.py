@@ -20,6 +20,7 @@ _SOURCES = [
     os.path.join(_DIR, "fastx.cpp"),
     os.path.join(_DIR, "dbg.cpp"),
     os.path.join(_DIR, "chain.cpp"),
+    os.path.join(_DIR, "mapcig.cpp"),
 ]
 _lib = None
 _tried = False
@@ -101,8 +102,70 @@ def get_lib():
     lib.hx_chain_indices.argtypes = [ctypes.c_void_p]
     lib.hx_chain_free.restype = None
     lib.hx_chain_free.argtypes = [ctypes.c_void_p]
+    # batched mapping -> CIGAR
+    lib.hx_mapcig_run.restype = ctypes.c_void_p
+    lib.hx_mapcig_run.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64,
+    ]
+    lib.hx_mapcig_size.restype = ctypes.c_uint64
+    lib.hx_mapcig_size.argtypes = [ctypes.c_void_p]
+    lib.hx_mapcig_ops.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.hx_mapcig_ops.argtypes = [ctypes.c_void_p]
+    lib.hx_mapcig_lens.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.hx_mapcig_lens.argtypes = [ctypes.c_void_p]
+    lib.hx_mapcig_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.hx_mapcig_offsets.argtypes = [ctypes.c_void_p]
+    lib.hx_mapcig_neq.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.hx_mapcig_neq.argtypes = [ctypes.c_void_p]
+    lib.hx_mapcig_free.restype = None
+    lib.hx_mapcig_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def mapping_cigars_native(mapping, reads, drafts, r_lens, d_lens):
+    """Whole-chunk mapping->CIGAR conversion; returns a list of
+    (ops, lens, n_eq) rows, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mapping = np.ascontiguousarray(mapping, dtype=np.int16)
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    drafts = np.ascontiguousarray(drafts, dtype=np.uint8)
+    rl = np.ascontiguousarray(r_lens, dtype=np.int32)
+    dl = np.ascontiguousarray(d_lens, dtype=np.int32)
+    B, R = mapping.shape
+    S = reads.shape[1]
+    h = lib.hx_mapcig_run(
+        mapping.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        drafts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        B, R, S,
+    )
+    if not h:
+        return None
+    try:
+        size = lib.hx_mapcig_size(h)
+        ops = np.ctypeslib.as_array(lib.hx_mapcig_ops(h), shape=(size,)) \
+            .copy() if size else np.zeros(0, np.uint8)
+        lens = np.ctypeslib.as_array(lib.hx_mapcig_lens(h), shape=(size,)) \
+            .copy() if size else np.zeros(0, np.int64)
+        offs = np.ctypeslib.as_array(
+            lib.hx_mapcig_offsets(h), shape=(B + 1,)
+        ).copy()
+        neq = np.ctypeslib.as_array(lib.hx_mapcig_neq(h), shape=(B,)).copy()
+        return [
+            (ops[offs[b] : offs[b + 1]], lens[offs[b] : offs[b + 1]],
+             int(neq[b]))
+            for b in range(B)
+        ]
+    finally:
+        lib.hx_mapcig_free(h)
 
 
 def chain_anchors_native(t_pos, q_pos, k, window, max_gap, min_score,

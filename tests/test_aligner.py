@@ -179,3 +179,45 @@ def test_chain_native_matches_python(monkeypatch):
         for (s1, i1), (s2, i2) in zip(nat, py):
             assert s1 == pytest.approx(s2, abs=1e-9)
             assert np.array_equal(i1, i2)
+
+
+def test_mapcig_native_matches_python():
+    """Whole-chunk C++ mapping->CIGAR conversion matches the Python
+    per-row converter on fuzzed alignments."""
+    from haslr_tpu import native
+    from haslr_tpu.aligner.extend import mapping_to_cigar
+    from haslr_tpu.kernels import nw as knw
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    B, S = 16, 96
+    reads = np.full((B, S), 4, np.uint8)
+    drafts = np.full((B, S), 4, np.uint8)
+    r_lens = np.zeros(B, np.int32)
+    d_lens = np.zeros(B, np.int32)
+    segs = []
+    for b in range(B):
+        t = rng.integers(0, 4, rng.integers(10, S), dtype=np.uint8)
+        # mutate into q
+        q = t.copy()
+        mask = rng.random(len(q)) < 0.15
+        q[mask] = rng.integers(0, 4, mask.sum(), dtype=np.uint8)
+        q = q[rng.random(len(q)) > 0.05]
+        q = q[: S]
+        segs.append((q, t))
+        reads[b, : len(q)] = q
+        drafts[b, : len(t)] = t
+        r_lens[b], d_lens[b] = len(q), len(t)
+    mapping = knw.align_mapping_device(
+        reads, r_lens, drafts, d_lens, 64, 2, -4, -2
+    )
+    rows = native.mapping_cigars_native(mapping, reads, drafts, r_lens,
+                                        d_lens)
+    assert rows is not None
+    for b, (q, t) in enumerate(segs):
+        ops, lens, neq = mapping_to_cigar(mapping[b], q, t)
+        n_ops, n_lens, n_neq = rows[b]
+        assert np.array_equal(ops, n_ops), b
+        assert np.array_equal(lens, n_lens), b
+        assert neq == n_neq, b
