@@ -256,13 +256,27 @@ def batched_consensus(
     gap: int = -8,
     rounds: int = 2,
     device_pileup: bool = True,
+    engine: str = "dense",
+    warn=None,
 ) -> list[str]:
-    """Consensus string per window (list of supporting subsequences)."""
+    """Consensus string per window (list of supporting subsequences).
+
+    ``engine="dense"`` (default) runs the whole multi-round consensus in
+    one device computation per length bucket
+    (:mod:`haslr_tpu.kernels.consensus_dense`); ``engine="chunked"`` is
+    the round-1 path that hops back to host between rounds (kept as a
+    reference implementation — both must produce identical output)."""
     window_codes = []
-    drafts = []
     for seqs in windows:
-        codes = [cseq.encode(s) for s in seqs if len(s) > 0]
-        window_codes.append(codes)
+        window_codes.append([cseq.encode(s) for s in seqs if len(s) > 0])
+    if engine == "dense":
+        from haslr_tpu.kernels.consensus_dense import dense_consensus
+
+        drafts = dense_consensus(window_codes, match, mismatch, gap,
+                                 rounds, warn=warn)
+        return [cseq.decode(d) for d in drafts]
+    drafts = []
+    for codes in window_codes:
         if not codes:
             drafts.append(np.zeros(0, dtype=np.uint8))
         else:

@@ -1,0 +1,399 @@
+"""Fully device-resident multi-round window consensus.
+
+The production TPU consensus engine (replaces the reference's per-window
+SPOA loop, ``Assemble.cpp:479-605``).  The round-1 engine
+(:mod:`haslr_tpu.kernels.consensus`) re-bucketed windows on host between
+polish rounds and shipped padded ``(B, S)`` read/draft tensors to the
+device every round; on this hardware every host<->device round trip costs
+~25-45 ms of relay latency regardless of size, so the host hops dominated
+the wall clock.  This engine instead runs the WHOLE consensus — unpacking,
+draft selection, both polish rounds (banded-NW align + pileup vote + draft
+compaction) — in ONE jit computation per length bucket:
+
+- input: one flat concatenated uint8 code array (2-bit alphabet) plus
+  offsets/lengths/window ids — a few hundred KB for thousands of windows,
+  transferred once;
+- on device: reads and drafts are gathered into padded ``(B, S)`` /
+  ``(N, S)`` tensors; each round aligns every read to its window's current
+  draft (Pallas fused DP+traceback kernel on TPU, XLA scan fallback
+  elsewhere), scatters base/coverage/insertion votes into dense per-window
+  tables, votes, and COMPACTS the voted slots into the next round's draft
+  tensor — drafts never leave the chip between rounds;
+- output: one packed ``(N, S/4)`` 2-bit draft tensor + lengths — a single
+  small device->host transfer for the whole batch.
+
+Vote semantics are identical to the host ``_Pileup``/``DevicePileup``
+engines (same emit rules and tie-breaks); band-incompatible reads
+(``|r_len - d_len| >= W/2 - 4``) are masked out per round exactly like the
+round-1 host re-bucketing did.  Windows whose consensus would outgrow the
+bucket are clipped at ``S`` and reported via :func:`dense_consensus`'s
+``clipped`` counter (the caller logs a warning instead of silence).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haslr_tpu.kernels import nw
+from haslr_tpu.kernels.nw import _align_mapping_inner
+
+DUMP = np.int32(1 << 30)
+
+BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+
+
+def _bucket_size(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return BUCKETS[-1]
+
+
+def _band_width(S: int) -> int:
+    if S <= 1024:
+        return 128
+    if S <= 2048:
+        return 256
+    return 512
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+def _unpack_rows(flat, offsets, lens, S):
+    """Gather ragged rows out of the flat code array into (n, S) uint8,
+    padded with 4 (the non-base sentinel)."""
+    col = jnp.arange(S, dtype=jnp.int32)[None, :]
+    idx = offsets[:, None] + col
+    valid = col < lens[:, None]
+    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+    vals = flat[idx]
+    return jnp.where(valid, vals, jnp.uint8(4))
+
+
+def _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S):
+    """Dense vote scatter: counts (N*S, 4), cov_diff/ins (N*(S+1), ...).
+
+    Same accumulation semantics as ``pileup._scatter_chunk_inner`` but with
+    the stride-S dense layout and an ``ok`` row mask (band-incompatible
+    reads drop out)."""
+    B = mapping.shape[0]
+    Sr = mapping.shape[1]
+    col = jnp.arange(Sr, dtype=jnp.int32)[None, :]
+    in_len = col < r_lens[:, None]
+    m = mapping.astype(jnp.int32)
+    aligned = (m >= 0) & in_len & ok[:, None]
+    rbase = reads.astype(jnp.int32) & 3
+    woff = jnp.where(ok, win_idx * S, DUMP)
+    woff1 = jnp.where(ok, win_idx * (S + 1), DUMP)
+
+    counts = jnp.zeros((N * S, 4), jnp.int32)
+    cov_diff = jnp.zeros(N * (S + 1) + 1, jnp.int32)
+    ins1 = jnp.zeros((N * (S + 1), 4), jnp.int32)
+    ins2 = jnp.zeros((N * (S + 1), 4), jnp.int32)
+    n_reads = jnp.zeros(N, jnp.int32)
+
+    tgt = jnp.where(aligned, woff[:, None] + m, DUMP)
+    counts = counts.at[tgt.reshape(-1), rbase.reshape(-1)].add(
+        1, mode="drop"
+    )
+
+    any_aligned = aligned.any(axis=1)
+    big = jnp.where(aligned, m, jnp.int32(1 << 29))
+    small = jnp.where(aligned, m, jnp.int32(-1))
+    jmin = big.min(axis=1)
+    jmax = small.max(axis=1)
+    start_t = jnp.where(any_aligned, woff1 + jmin, DUMP)
+    end_t = jnp.where(any_aligned, woff1 + jmax + 1, DUMP)
+    cov_diff = cov_diff.at[start_t].add(1, mode="drop")
+    cov_diff = cov_diff.at[end_t].add(-1, mode="drop")
+    n_reads = n_reads.at[jnp.where(any_aligned, win_idx, DUMP)].add(
+        1, mode="drop"
+    )
+
+    ins = (m <= -2) & in_len & ok[:, None]
+    anchors = -m - 3
+    prev_ins = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ins[:, :-1]], axis=1
+    )
+    prev_anchor = jnp.concatenate(
+        [jnp.full((B, 1), -9, jnp.int32), anchors[:, :-1]], axis=1
+    )
+    start = ins & (~prev_ins | (anchors != prev_anchor))
+    idx = jnp.broadcast_to(col, (B, Sr))
+    last_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(start, idx, -1), axis=1
+    )
+    rank = idx - last_start
+    row_ok = any_aligned[:, None]
+    sel1 = ins & (rank == 0) & row_ok
+    sel2 = ins & (rank == 1) & row_ok
+    t1 = jnp.where(sel1, woff1[:, None] + anchors + 1, DUMP)
+    t2 = jnp.where(sel2, woff1[:, None] + anchors + 1, DUMP)
+    ins1 = ins1.at[t1.reshape(-1), rbase.reshape(-1)].add(1, mode="drop")
+    ins2 = ins2.at[t2.reshape(-1), rbase.reshape(-1)].add(1, mode="drop")
+    return counts, cov_diff, ins1, ins2, n_reads
+
+
+def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
+                  N, S):
+    """Dense majority vote + on-device draft compaction.
+
+    Emit rules and tie-breaks identical to ``pileup._vote_packed``; the
+    kept slots (order: ins1[0], ins2[0], then per draft position p:
+    base[p], ins1[p+1], ins2[p+1]) are compacted into the next (N, S)
+    draft tensor with a cumsum-scatter.  Returns (new_drafts, new_d_lens,
+    total_keep) where total_keep is the UNclipped per-window length."""
+    counts4 = counts.reshape(N, S, 4)
+    cov = jnp.cumsum(cov_diff[: N * (S + 1)].reshape(N, S + 1), axis=1)
+
+    base_sum = counts4.sum(axis=2)
+    base_best = counts4.argmax(axis=2).astype(jnp.int32)
+    base_best_cnt = jnp.take_along_axis(
+        counts4, base_best[..., None], axis=2
+    )[..., 0]
+    draft_codes = (drafts.astype(jnp.int32) & 3)
+    draft_cnt = jnp.take_along_axis(
+        counts4, draft_codes[..., None], axis=2
+    )[..., 0]
+    base_call = jnp.where(
+        draft_cnt == base_best_cnt, draft_codes, base_best
+    )
+    emit_base = base_best_cnt > (cov[:, :S] - base_sum)
+
+    ins1_4 = ins1.reshape(N, S + 1, 4)
+    ins2_4 = ins2.reshape(N, S + 1, 4)
+    ins1_sum = ins1_4.sum(axis=2)
+    ins2_sum = ins2_4.sum(axis=2)
+    q = jnp.arange(S + 1, dtype=jnp.int32)[None, :]
+    cov_prev = jnp.take_along_axis(cov, jnp.maximum(q - 1, 0), axis=1)
+    emit_i1 = ins1_sum * 2 > jnp.maximum(cov_prev, 1)
+    emit_i2 = (ins2_sum * 2 > jnp.maximum(cov_prev, 1)) & emit_i1
+    ins1_call = ins1_4.argmax(axis=2).astype(jnp.int32)
+    ins2_call = ins2_4.argmax(axis=2).astype(jnp.int32)
+
+    # slot interleave: [i1[0], i2[0], (base[p], i1[p+1], i2[p+1]) * S]
+    pos_ok = q[:, :S] < d_lens[:, None]          # base slots: p < d_len
+    q_ok = q <= d_lens[:, None]                  # ins slots: q <= d_len
+    inner_vals = jnp.stack(
+        [base_call, ins1_call[:, 1:], ins2_call[:, 1:]], axis=2
+    ).reshape(N, 3 * S)
+    inner_keep = jnp.stack(
+        [
+            emit_base & pos_ok,
+            emit_i1[:, 1:] & q_ok[:, 1:],
+            emit_i2[:, 1:] & q_ok[:, 1:],
+        ],
+        axis=2,
+    ).reshape(N, 3 * S)
+    vals = jnp.concatenate(
+        [ins1_call[:, :1], ins2_call[:, :1], inner_vals], axis=1
+    )
+    keep = jnp.concatenate(
+        [
+            (emit_i1[:, :1] & q_ok[:, :1]),
+            (emit_i2[:, :1] & q_ok[:, :1]),
+            inner_keep,
+        ],
+        axis=1,
+    )
+
+    kcum = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    pos = kcum - 1
+    total_keep = kcum[:, -1]
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
+    tgt = jnp.where(keep & (pos < S), rows * S + pos, DUMP)
+    new_flat = jnp.full(N * S, 4, jnp.uint8)
+    new_flat = new_flat.at[tgt.reshape(-1)].set(
+        vals.astype(jnp.uint8).reshape(-1), mode="drop"
+    )
+    new_drafts = new_flat.reshape(N, S)
+    new_d_lens = jnp.minimum(total_keep, S)
+
+    # windows nobody voted on keep their draft
+    quiet = (n_reads == 0)[:, None]
+    new_drafts = jnp.where(quiet, drafts, new_drafts)
+    new_d_lens = jnp.where(quiet[:, 0], d_lens, new_d_lens)
+    total_keep = jnp.where(quiet[:, 0], d_lens, total_keep)
+    return new_drafts, new_d_lens, total_keep
+
+
+@functools.partial(
+    jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12)
+)
+def _dense_rounds(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
+                  N, S, W, rounds, match, mismatch, gap):
+    """The whole multi-round consensus for one bucket, on device."""
+    use_pallas = nw.use_pallas_for(r_lens.shape[0], S, S, W)
+    reads = _unpack_rows(flat, read_off, r_lens, S)
+    drafts = _unpack_rows(flat, draft_off, d_lens0, S)
+    d_lens = d_lens0
+    overflow = jnp.zeros((N,), jnp.int32)
+    for _ in range(rounds):
+        dl_r = d_lens[win_idx]
+        dr_r = drafts[win_idx]
+        ok = (
+            (r_lens > 0)
+            & (dl_r > 0)
+            & (jnp.abs(r_lens - dl_r) < W // 2 - 4)
+        )
+        mapping = _align_mapping_inner(
+            reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
+            use_pallas,
+        )
+        tables = _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S)
+        drafts, d_lens, total_keep = _vote_compact(
+            *tables, drafts, d_lens, N, S
+        )
+        overflow = jnp.maximum(overflow, total_keep - S)
+    # pack 4 codes/byte for the device->host hop
+    codes = jnp.where(
+        jnp.arange(S, dtype=jnp.int32)[None, :] < d_lens[:, None],
+        drafts.astype(jnp.int32) & 3,
+        0,
+    )
+    g = codes.reshape(N, S // 4, 4)
+    packed = (
+        g[..., 0] | (g[..., 1] << 2) | (g[..., 2] << 4) | (g[..., 3] << 6)
+    ).astype(jnp.uint8)
+    return packed, d_lens, overflow
+
+
+def _unpack_host(packed_row: np.ndarray, length: int) -> np.ndarray:
+    b = packed_row[: (length + 3) // 4]
+    out = np.empty(((len(b)) * 4,), np.uint8)
+    out[0::4] = b & 3
+    out[1::4] = (b >> 2) & 3
+    out[2::4] = (b >> 4) & 3
+    out[3::4] = (b >> 6) & 3
+    return out[:length]
+
+
+def dense_consensus(
+    window_codes: list[list[np.ndarray]],
+    match: int = 5,
+    mismatch: int = -4,
+    gap: int = -8,
+    rounds: int = 2,
+    warn=None,
+) -> list[np.ndarray]:
+    """Consensus codes per window, one device round trip per bucket.
+
+    ``window_codes``: per window, the supporting subsequences as uint8
+    2-bit code arrays.  ``warn``: optional callable for overflow/drop
+    notices (windows whose consensus hit the bucket cap)."""
+    n_win = len(window_codes)
+    results: list[np.ndarray | None] = [None] * n_win
+
+    # pick drafts + assign buckets on host (cheap)
+    groups: dict[int, list[int]] = {}
+    drafts0: list[np.ndarray] = []
+    for wi, codes in enumerate(window_codes):
+        nonempty = [c for c in codes if len(c) > 0]
+        if not nonempty:
+            drafts0.append(np.zeros(0, np.uint8))
+            results[wi] = np.zeros(0, np.uint8)
+            continue
+        by_len = sorted(nonempty, key=len)
+        draft = by_len[len(by_len) // 2]
+        drafts0.append(draft)
+        S0 = _bucket_size(len(draft))
+        W = _band_width(S0)
+        S = _bucket_size(len(draft) + W // 2)
+        groups.setdefault(S, []).append(wi)
+
+    for S, wins in sorted(groups.items()):
+        W = _band_width(S)
+        # split oversized groups: windows are independent, and the XLA
+        # scan fallback materializes a (2S+1, B, W) direction tensor
+        max_b = max(64, (1 << 30) // ((2 * S + 1) * W))
+        sub: list[list[int]] = [[]]
+        acc = 0
+        for wi in wins:
+            cnt = sum(
+                1
+                for c in window_codes[wi]
+                if 0 < len(c) <= S
+            )
+            if acc + cnt > max_b and sub[-1]:
+                sub.append([])
+                acc = 0
+            sub[-1].append(wi)
+            acc += cnt
+        for win_list in sub:
+            _run_group(window_codes, drafts0, results, win_list, S, W,
+                       match, mismatch, gap, rounds, warn)
+    return [r if r is not None else np.zeros(0, np.uint8) for r in results]
+
+
+def _run_group(window_codes, drafts0, results, win_list, S, W, match,
+               mismatch, gap, rounds, warn):
+    """Pack one bucket group, run the device rounds, unpack results."""
+    flat_parts: list[np.ndarray] = []
+    flat_len = 0
+    read_off: list[int] = []
+    r_lens: list[int] = []
+    win_idx: list[int] = []
+    draft_off = np.zeros(len(win_list), np.int64)
+    d_lens0 = np.zeros(len(win_list), np.int64)
+    pairs = []  # (length, local window, code) for t_max-tight sorting
+    for li, wi in enumerate(win_list):
+        d = drafts0[wi]
+        flat_parts.append(d)
+        draft_off[li] = flat_len
+        d_lens0[li] = len(d)
+        flat_len += len(d)
+        for c in window_codes[wi]:
+            if 0 < len(c) <= S:
+                pairs.append((len(c), li, c))
+    # sort reads by length so each Pallas GROUP of 32 gets a tight t_max
+    pairs.sort(key=lambda p: p[0])
+    for ln, li, c in pairs:
+        read_off.append(flat_len)
+        flat_parts.append(c)
+        flat_len += ln
+        r_lens.append(ln)
+        win_idx.append(li)
+
+    N = _pad_to(len(win_list), 8)
+    B = _pad_to(len(pairs), 32)
+    flat = (
+        np.concatenate(flat_parts)
+        if flat_parts
+        else np.zeros(1, np.uint8)
+    )
+    if len(flat) == 0:
+        flat = np.zeros(1, np.uint8)
+    ro = np.zeros(B, np.int32)
+    rl = np.zeros(B, np.int32)
+    wx = np.full(B, N - 1, np.int32)  # pad reads point at a pad window
+    ro[: len(pairs)] = read_off
+    rl[: len(pairs)] = r_lens
+    wx[: len(pairs)] = win_idx
+    do = np.zeros(N, np.int32)
+    dl = np.zeros(N, np.int32)
+    do[: len(win_list)] = draft_off
+    dl[: len(win_list)] = d_lens0
+
+    packed, d_lens, overflow = _dense_rounds(
+        jnp.asarray(flat), jnp.asarray(ro), jnp.asarray(rl),
+        jnp.asarray(wx), jnp.asarray(do), jnp.asarray(dl),
+        N, S, W, rounds, match, mismatch, gap,
+    )
+    packed = np.asarray(packed)
+    d_lens = np.asarray(d_lens)
+    overflow = np.asarray(overflow)
+    n_over = int((overflow[: len(win_list)] > 0).sum())
+    if n_over and warn is not None:
+        warn(
+            f"consensus: {n_over} window(s) hit the {S} bp bucket cap "
+            f"(max overflow {int(overflow.max())} bp); consider the host "
+            "POA path for these edges"
+        )
+    for li, wi in enumerate(win_list):
+        results[wi] = _unpack_host(packed[li], int(d_lens[li]))

@@ -21,6 +21,7 @@ _SOURCES = [
     os.path.join(_DIR, "dbg.cpp"),
     os.path.join(_DIR, "chain.cpp"),
     os.path.join(_DIR, "mapcig.cpp"),
+    os.path.join(_DIR, "poa.cpp"),
 ]
 _lib = None
 _tried = False
@@ -122,8 +123,69 @@ def get_lib():
     lib.hx_mapcig_neq.argtypes = [ctypes.c_void_p]
     lib.hx_mapcig_free.restype = None
     lib.hx_mapcig_free.argtypes = [ctypes.c_void_p]
+    # batched POA consensus
+    lib.hx_poa_run.restype = ctypes.c_void_p
+    lib.hx_poa_run.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.hx_poa_out_size.restype = ctypes.c_uint64
+    lib.hx_poa_out_size.argtypes = [ctypes.c_void_p]
+    lib.hx_poa_out.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.hx_poa_out.argtypes = [ctypes.c_void_p]
+    lib.hx_poa_out_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.hx_poa_out_offsets.argtypes = [ctypes.c_void_p]
+    lib.hx_poa_free.restype = None
+    lib.hx_poa_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def poa_consensus_native(windows, match=5, mismatch=-4, gap=-8,
+                         n_threads=1):
+    """Batched POA consensus over ``windows`` (list of lists of 2-bit code
+    arrays); returns a list of consensus code arrays, or None when the
+    native library is unavailable (callers fall back to the Python
+    engine).  Same semantics as :func:`haslr_tpu.assemble.poa.poa_consensus`
+    (SPOA call pattern of the reference, Assemble.cpp:499-555)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seqs = []
+    win_offsets = np.zeros(len(windows) + 1, dtype=np.uint64)
+    for w, seq_list in enumerate(windows):
+        seqs.extend(seq_list)
+        win_offsets[w + 1] = len(seqs)
+    seq_offsets = np.zeros(len(seqs) + 1, dtype=np.uint64)
+    for i, s in enumerate(seqs):
+        seq_offsets[i + 1] = seq_offsets[i] + len(s)
+    codes = (
+        np.concatenate([np.asarray(s, np.uint8) for s in seqs])
+        if seqs else np.zeros(0, np.uint8)
+    )
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    h = lib.hx_poa_run(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seq_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(seqs),
+        win_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(windows), match, mismatch, gap, n_threads,
+    )
+    if not h:
+        return None
+    try:
+        size = lib.hx_poa_out_size(h)
+        out = (
+            np.ctypeslib.as_array(lib.hx_poa_out(h), shape=(size,)).copy()
+            if size else np.zeros(0, np.uint8)
+        )
+        offs = np.ctypeslib.as_array(
+            lib.hx_poa_out_offsets(h), shape=(len(windows) + 1,)
+        ).copy()
+        return [out[offs[w] : offs[w + 1]] for w in range(len(windows))]
+    finally:
+        lib.hx_poa_free(h)
 
 
 def mapping_cigars_native(mapping, reads, drafts, r_lens, d_lens):

@@ -149,9 +149,45 @@ def test_device_pileup_matches_host_pileup():
     for L in (80, 250, 600):
         true = "".join(bases[i] for i in rng.integers(0, 4, L))
         windows.append([mutate(true) for _ in range(9)])
-    dev = batched_consensus(windows, device_pileup=True)
-    host = batched_consensus(windows, device_pileup=False)
+    dev = batched_consensus(windows, device_pileup=True, engine="chunked")
+    host = batched_consensus(
+        windows, device_pileup=False, engine="chunked"
+    )
     assert dev == host
+
+
+def test_dense_engine_matches_chunked():
+    """The device-resident multi-round engine must vote the exact same
+    consensus as the round-1 host-hop engine on every window shape."""
+    rng = np.random.default_rng(33)
+    bases = "ACGT"
+
+    def mutate(s, rate=0.07):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < rate / 3:
+                continue
+            if r < 2 * rate / 3:
+                out.append(bases[rng.integers(0, 4)])
+            else:
+                out.append(ch)
+                if r < rate:
+                    out.append(bases[rng.integers(0, 4)])
+        return "".join(out)
+
+    windows = []
+    for L in (60, 200, 500):
+        true = "".join(bases[i] for i in rng.integers(0, 4, L))
+        windows.append([mutate(true) for _ in range(9)])
+    windows.append([])
+    windows.append(["ACGT"])
+    windows.append(["", ""])
+    s = "ACGTTGCAGGACCATAGGACCA"
+    windows.append([s, s, s])
+    dense = batched_consensus(windows, engine="dense")
+    chunk = batched_consensus(windows, engine="chunked")
+    assert dense == chunk
 
 
 def test_batched_consensus_mixed_lengths():
