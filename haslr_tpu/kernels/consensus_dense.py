@@ -65,6 +65,15 @@ def _pad_to(n: int, m: int) -> int:
     return ((max(n, 1) + m - 1) // m) * m
 
 
+def _pad_shape(n: int, floor: int) -> int:
+    """Next power of two (>= floor): keeps the set of compiled jit shapes
+    small across assemblies (remote TPU compiles cost minutes)."""
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
 def _unpack_rows(flat, offsets, lens, S):
     """Gather ragged rows out of the flat code array into (n, S) uint8,
     padded with 4 (the non-base sentinel)."""
@@ -224,12 +233,21 @@ def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
 
 
 @functools.partial(
-    jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12)
+    jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8)
 )
-def _dense_rounds(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
-                  N, S, W, rounds, match, mismatch, gap):
-    """The whole multi-round consensus for one bucket, on device."""
-    use_pallas = nw.use_pallas_for(r_lens.shape[0], S, S, W)
+def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
+    """The whole multi-round consensus for one bucket, on device.
+
+    ``meta`` packs [read_off | r_lens | win_idx | draft_off | d_lens]
+    into one int32 array so the host->device hop is a single transfer
+    (each separate transfer costs ~25-45 ms of relay latency here)."""
+    B = (meta.shape[0] - 2 * N) // 3
+    read_off = meta[:B]
+    r_lens = meta[B : 2 * B]
+    win_idx = meta[2 * B : 3 * B]
+    draft_off = meta[3 * B : 3 * B + N]
+    d_lens0 = meta[3 * B + N :]
+    use_pallas = nw.use_pallas_for(B, S, S, W)
     reads = _unpack_rows(flat, read_off, r_lens, S)
     drafts = _unpack_rows(flat, draft_off, d_lens0, S)
     d_lens = d_lens0
@@ -251,7 +269,8 @@ def _dense_rounds(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
             *tables, drafts, d_lens, N, S
         )
         overflow = jnp.maximum(overflow, total_keep - S)
-    # pack 4 codes/byte for the device->host hop
+    # pack 4 codes/byte and fuse all outputs into ONE uint8 array so the
+    # device->host hop is a single transfer
     codes = jnp.where(
         jnp.arange(S, dtype=jnp.int32)[None, :] < d_lens[:, None],
         drafts.astype(jnp.int32) & 3,
@@ -261,7 +280,10 @@ def _dense_rounds(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
     packed = (
         g[..., 0] | (g[..., 1] << 2) | (g[..., 2] << 4) | (g[..., 3] << 6)
     ).astype(jnp.uint8)
-    return packed, d_lens, overflow
+    tail = jax.lax.bitcast_convert_type(
+        jnp.stack([d_lens.astype(jnp.int32), overflow]), jnp.uint8
+    ).reshape(-1)
+    return jnp.concatenate([packed.reshape(-1), tail])
 
 
 def _unpack_host(packed_row: np.ndarray, length: int) -> np.ndarray:
@@ -309,9 +331,16 @@ def dense_consensus(
 
     for S, wins in sorted(groups.items()):
         W = _band_width(S)
-        # split oversized groups: windows are independent, and the XLA
-        # scan fallback materializes a (2S+1, B, W) direction tensor
-        max_b = max(64, (1 << 30) // ((2 * S + 1) * W))
+        # split oversized groups only when the XLA scan fallback would
+        # materialize its (2S+1, B, W) direction tensor; the Pallas path
+        # keeps directions in per-program VMEM scratch, so one call can
+        # carry the whole bucket
+        if nw.use_pallas_for(32, S, S, W):
+            # directions live in per-program VMEM scratch; the cap here is
+            # XLA/Mosaic compile time, which degrades past ~8k rows
+            max_b = 8192
+        else:
+            max_b = max(64, (1 << 30) // ((2 * S + 1) * W))
         sub: list[list[int]] = [[]]
         acc = 0
         for wi in wins:
@@ -360,8 +389,8 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
         r_lens.append(ln)
         win_idx.append(li)
 
-    N = _pad_to(len(win_list), 8)
-    B = _pad_to(len(pairs), 32)
+    N = _pad_shape(len(win_list), 8)
+    B = _pad_shape(len(pairs), 32)
     flat = (
         np.concatenate(flat_parts)
         if flat_parts
@@ -380,14 +409,16 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
     do[: len(win_list)] = draft_off
     dl[: len(win_list)] = d_lens0
 
-    packed, d_lens, overflow = _dense_rounds(
-        jnp.asarray(flat), jnp.asarray(ro), jnp.asarray(rl),
-        jnp.asarray(wx), jnp.asarray(do), jnp.asarray(dl),
-        N, S, W, rounds, match, mismatch, gap,
+    meta = np.concatenate([ro, rl, wx, do, dl]).astype(np.int32)
+    out = np.asarray(
+        _dense_rounds(
+            jnp.asarray(flat), jnp.asarray(meta),
+            N, S, W, rounds, match, mismatch, gap,
+        )
     )
-    packed = np.asarray(packed)
-    d_lens = np.asarray(d_lens)
-    overflow = np.asarray(overflow)
+    packed = out[: N * (S // 4)].reshape(N, S // 4)
+    tail = out[N * (S // 4) :].view(np.int32).reshape(2, N)
+    d_lens, overflow = tail[0], tail[1]
     n_over = int((overflow[: len(win_list)] > 0).sum())
     if n_over and warn is not None:
         warn(

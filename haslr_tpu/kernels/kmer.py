@@ -106,17 +106,11 @@ def _word_spans(k: int):
     return spans
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _device_unique_counts(codes: jnp.ndarray, k: int, min_count):
-    """Sort + run-length count + abundance filter + compaction, all on
-    device; returns (compacted word columns, counts, n_distinct).
-
-    Only the ``n_distinct`` prefix of the outputs is meaningful — callers
-    fetch exactly that slice, keeping the device->host transfer
-    proportional to the distinct solid k-mers (the raw sorted stream for a
-    real read set would be hundreds of MB through the TPU relay).
-    """
-    sorted_words, n_valid = _device_sorted_kmers(codes, k)
+def _rle_compact(sorted_words, n_valid, min_count, weights=None):
+    """Run-length count + abundance filter + compaction of sorted word
+    columns (device).  ``weights``: optional per-row counts (for merging
+    pre-counted streams); default weight 1 per row.  Returns (compacted
+    word columns, counts, n_distinct)."""
     m = sorted_words[0].shape[0]
     pos = jnp.arange(m)
     valid = pos < n_valid
@@ -125,8 +119,13 @@ def _device_unique_counts(codes: jnp.ndarray, k: int, min_count):
         new = new | jnp.concatenate([jnp.ones(1, bool), w[1:] != w[:-1]])
     new = new & valid
     seg = jnp.cumsum(new.astype(jnp.int32)) - 1  # run id per position
+    wts = (
+        weights.astype(jnp.int32)
+        if weights is not None
+        else jnp.ones(m, jnp.int32)
+    )
     counts = jnp.zeros(m, jnp.int32).at[jnp.where(valid, seg, m - 1)].add(
-        jnp.where(valid, 1, 0)
+        jnp.where(valid, wts, 0)
     )
     starts = jnp.nonzero(new, size=m, fill_value=m - 1)[0]
     run_counts = counts[jnp.arange(m)]
@@ -142,6 +141,20 @@ def _device_unique_counts(codes: jnp.ndarray, k: int, min_count):
         out_words.append(ow)
     out_counts = jnp.zeros(m, jnp.int32).at[tgt].set(run_counts)
     return out_words, out_counts, n_keep
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _device_unique_counts(codes: jnp.ndarray, k: int, min_count):
+    """Sort + run-length count + abundance filter + compaction, all on
+    device; returns (compacted word columns, counts, n_distinct).
+
+    Only the ``n_distinct`` prefix of the outputs is meaningful — callers
+    fetch exactly that slice, keeping the device->host transfer
+    proportional to the distinct solid k-mers (the raw sorted stream for a
+    real read set would be hundreds of MB through the TPU relay).
+    """
+    sorted_words, n_valid = _device_sorted_kmers(codes, k)
+    return _rle_compact(sorted_words, n_valid, min_count)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -169,6 +182,18 @@ def _device_sorted_kmers(codes: jnp.ndarray, k: int):
     bad = (codes >= SEP).astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
     valid = (cs[k:] - cs[:-k]) == 0
+    canon = _canonical_words(words, spans)
+    FULL = np.uint32(0xFFFFFFFF)
+    canon = [jnp.where(valid, w, FULL) for w in canon]
+    sorted_words = jax.lax.sort(tuple(canon), num_keys=len(canon))
+    return sorted_words, jnp.sum(valid.astype(jnp.int32))
+
+
+def _canonical_words(words, spans):
+    """Canonical (min of forward / reverse-complement) form of packed
+    k-mer word columns (device)."""
+    m = words[0].shape[0]
+    three = np.uint32(3)
     # reverse complement: collect complemented 2-bit groups last-word
     # LSB-first; the stream refills the words front-to-back
     vals = []
@@ -191,11 +216,7 @@ def _device_sorted_kmers(codes: jnp.ndarray, k: int):
     for w, rw in zip(words, rwords):
         use_rc = use_rc | (undecided & (rw < w))
         undecided = undecided & (rw == w)
-    canon = [jnp.where(use_rc, rw, w) for w, rw in zip(words, rwords)]
-    FULL = np.uint32(0xFFFFFFFF)
-    canon = [jnp.where(valid, w, FULL) for w in canon]
-    sorted_words = jax.lax.sort(tuple(canon), num_keys=len(canon))
-    return sorted_words, jnp.sum(valid.astype(jnp.int32))
+    return [jnp.where(use_rc, rw, w) for w, rw in zip(words, rwords)]
 
 
 def _words_to_pair(words: list, k: int):

@@ -1,0 +1,262 @@
+"""Streaming, scale-proof canonical k-mer counting (prefix-partitioned).
+
+The single-shot device counter (:mod:`haslr_tpu.kernels.kmer`) pads the
+whole concatenated read stream to one power-of-two device array — fine for
+E. coli, structurally impossible for CHM1-scale inputs (100+ Gbp of short
+reads vs ~16 GB of HBM).  This module is the external-memory design that
+replaces minia's disk-based KMC-style counter (reference invocation
+``bin/haslr.py:180``) at any input size with BOUNDED device and host
+memory:
+
+1. **Distribute** — reads stream through the chip in fixed-size chunks
+   (2-bit packed on host, one H2D transfer per chunk); each chunk's
+   k-mers are packed/canonicalized/sorted/run-length-collapsed on device
+   (coverage within a chunk collapses ~C× before anything returns to
+   host), and the per-chunk distinct (k-mer, count) rows are split by the
+   top ``2*prefix_bits`` bits of the canonical k-mer into 4^p partition
+   buffers (optionally spilled to disk).
+2. **Count** — partitions are processed one at a time: rows from all
+   chunks are merged with one more device sort keyed by the k-mer words,
+   counts summed by segment, abundance-filtered.  Since partitions are
+   prefix-ordered and each is internally sorted, concatenating the
+   partition outputs yields the globally sorted (hi, lo, count) stream —
+   the same contract as ``count_kmers_host`` / ``count_kmers_device``.
+
+Multi-chip scaling: partitions are disjoint by construction, so chips
+count disjoint prefix ranges with no collective at all; the host-sharded
+read stream only needs an all-to-all of (k-mer, count) rows keyed by
+prefix, which this layout makes a pure concatenation.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haslr_tpu.kernels.kmer import (
+    _canonical_words,
+    _rle_compact,
+    _word_spans,
+    _words_to_pair,
+)
+
+FULL = np.uint32(0xFFFFFFFF)
+
+
+def pack2(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack (4 codes/byte, LSB-first) for the host->device hop."""
+    n = len(codes)
+    pad = (-n) % 4
+    if pad:
+        codes = np.concatenate([codes, np.zeros(pad, np.uint8)])
+    g = (codes & 3).reshape(-1, 4)
+    return (g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)) \
+        .astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def _count_chunk(packed, offsets, k, min_count, n_off_pad):
+    """Distinct canonical k-mer counts of one packed chunk (device).
+
+    ``offsets``: int32 read-boundary offsets (0, ends...), padded by
+    repeating the total length to a static size — k-mers crossing a
+    boundary (or in the pad tail) are invalidated via a searchsorted
+    check, so no separator codes are needed and the input stays 2 bits
+    per base.  Returns (sorted word columns, counts, n_distinct)."""
+    nbytes = packed.shape[0]
+    n = nbytes * 4
+    b = packed.astype(jnp.uint32)
+    codes = jnp.stack(
+        [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1
+    ).reshape(n)
+    m = n - k + 1
+    spans = _word_spans(k)
+    three = np.uint32(3)
+    words = []
+    for (b0, b1) in spans:
+        w = jnp.zeros(m, jnp.uint32)
+        for j in range(b0, b1):
+            w = (w << np.uint32(2)) | (
+                jax.lax.dynamic_slice(codes, (j,), (m,)) & three
+            )
+        words.append(w)
+    i = jnp.arange(m, dtype=jnp.int32)
+    nxt = jnp.searchsorted(offsets, i, side="right")
+    bound = offsets[jnp.clip(nxt, 0, n_off_pad - 1)]
+    valid = (bound >= i + k) & (nxt < n_off_pad)
+    canon = _canonical_words(words, spans)
+    canon = [jnp.where(valid, w, FULL) for w in canon]
+    sorted_words = jax.lax.sort(tuple(canon), num_keys=len(canon))
+    return _rle_compact(sorted_words, jnp.sum(valid.astype(jnp.int32)),
+                        min_count)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _merge_partition(words_stack, counts, n_rows, min_count):
+    """Merge pre-counted rows (device): sort by k-mer words, sum counts of
+    equal k-mers, abundance-filter.  ``words_stack``: (n_words, m); the
+    ``m - n_rows`` pad rows are all-FULL on every word, which no canonical
+    k-mer can be (the canonical form of T^k is A^k), so they sort strictly
+    last and the ``n_rows`` prefix of the sorted stream is exactly the
+    real rows."""
+    cols = tuple(words_stack[i] for i in range(words_stack.shape[0]))
+    sorted_all = jax.lax.sort(
+        cols + (counts,), num_keys=len(cols)
+    )
+    sorted_words = list(sorted_all[:-1])
+    sorted_counts = sorted_all[-1]
+    return _rle_compact(sorted_words, n_rows, min_count,
+                        weights=sorted_counts)
+
+
+def _pow2(n: int, floor: int = 1024) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+class _PartitionStore:
+    """Per-partition (words, counts) row buffers, RAM or disk-backed."""
+
+    def __init__(self, n_parts: int, n_words: int, spill_dir=None):
+        self.n_parts = n_parts
+        self.n_words = n_words
+        self.spill_dir = spill_dir
+        self.mem: list[list[np.ndarray]] = [[] for _ in range(n_parts)]
+        self.files: list[list[str]] = [[] for _ in range(n_parts)]
+        self._file_no = 0
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+
+    def add(self, pid: int, rows: np.ndarray):
+        if rows.shape[1] == 0:
+            return
+        if self.spill_dir:
+            path = os.path.join(
+                self.spill_dir, f"part{pid}_{self._file_no}.npy"
+            )
+            self._file_no += 1
+            np.save(path, rows)
+            self.files[pid].append(path)
+        else:
+            self.mem[pid].append(rows)
+
+    def take(self, pid: int) -> np.ndarray:
+        """All rows of one partition, concatenated; frees the buffers."""
+        chunks = list(self.mem[pid])
+        for path in self.files[pid]:
+            chunks.append(np.load(path))
+            os.remove(path)
+        self.mem[pid] = []
+        self.files[pid] = []
+        if not chunks:
+            return np.zeros((self.n_words + 1, 0), np.uint32)
+        return np.concatenate(chunks, axis=1)
+
+
+def count_kmers_streaming(
+    reads,
+    k: int,
+    min_count: int = 1,
+    chunk_bases: int = 1 << 24,
+    prefix_bits: int = 4,
+    spill_dir: str | None = None,
+):
+    """Canonical k-mer counts over an iterable of read code arrays.
+
+    Same output contract as ``count_kmers_host``: (hi, lo, counts), the
+    distinct canonical k-mers in sorted order with count >= min_count.
+    Device and host memory stay bounded by ``chunk_bases`` and the largest
+    partition (1/4^prefix_bits of the distinct k-mers), independent of
+    total input size."""
+    spans = _word_spans(k)
+    n_words = len(spans)
+    first_word_bases = spans[0][1] - spans[0][0]
+    prefix_bits = min(prefix_bits, first_word_bases)
+    shift = np.uint32(2 * first_word_bases - 2 * prefix_bits)
+    n_parts = 1 << (2 * prefix_bits)
+    store = _PartitionStore(n_parts, n_words, spill_dir)
+
+    # ---- phase 1: distribute ------------------------------------------
+    buf: list[np.ndarray] = []
+    buf_len = 0
+
+    def flush():
+        nonlocal buf, buf_len
+        if not buf:
+            return
+        codes = np.concatenate(buf)
+        offsets = np.zeros(len(buf) + 1, np.int64)
+        np.cumsum([len(b) for b in buf], out=offsets[1:])
+        buf, buf_len = [], 0
+        n_pad = _pow2(len(codes) + 4)
+        packed = pack2(codes)
+        packed = np.concatenate(
+            [packed, np.zeros(n_pad // 4 - len(packed), np.uint8)]
+        )
+        n_off = _pow2(len(offsets), 64)
+        off_pad = np.full(n_off, offsets[-1], np.int32)
+        off_pad[: len(offsets)] = offsets
+        out_words, out_counts, n_keep = _count_chunk(
+            jnp.asarray(packed), jnp.asarray(off_pad), k, 1, n_off
+        )
+        nk = int(n_keep)
+        if nk == 0:
+            return
+        rows = np.stack(
+            [np.asarray(w[:nk]) for w in out_words]
+            + [np.asarray(out_counts[:nk]).astype(np.uint32)]
+        )
+        # split the sorted rows by prefix (contiguous ranges)
+        pids = rows[0] >> shift
+        bounds = np.searchsorted(pids, np.arange(n_parts + 1))
+        for pid in range(n_parts):
+            lo_i, hi_i = bounds[pid], bounds[pid + 1]
+            if hi_i > lo_i:
+                store.add(pid, rows[:, lo_i:hi_i])
+
+    for codes in reads:
+        if len(codes) < k:
+            continue
+        buf.append(np.asarray(codes, np.uint8))
+        buf_len += len(codes)
+        if buf_len >= chunk_bases:
+            flush()
+    flush()
+
+    # ---- phase 2: per-partition merge ---------------------------------
+    his, los, cnts = [], [], []
+    for pid in range(n_parts):
+        rows = store.take(pid)
+        m = rows.shape[1]
+        if m == 0:
+            continue
+        mp = _pow2(m, 1024)
+        padded = np.full((n_words + 1, mp), FULL, np.uint32)
+        padded[:, :m] = rows
+        padded[-1, m:] = 0
+        out_words, out_counts, n_keep = _merge_partition(
+            jnp.asarray(padded[:-1]), jnp.asarray(padded[-1]), m, min_count
+        )
+        nk = int(n_keep)
+        if nk == 0:
+            continue
+        words = [np.asarray(w[:nk]) for w in out_words]
+        counts = np.asarray(out_counts[:nk]).astype(np.int64)
+        hi, lo = _words_to_pair(words, k)
+        his.append(hi)
+        los.append(lo)
+        cnts.append(counts)
+    if not his:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, np.int64)
+    return (
+        np.concatenate(his),
+        np.concatenate(los),
+        np.concatenate(cnts),
+    )

@@ -46,6 +46,22 @@ def load_read_codes(paths: list[str]) -> np.ndarray:
     return np.concatenate(chunks)
 
 
+def iter_read_codes(paths: list[str]):
+    """Yield each read's 2-bit codes (no separators) — the streaming twin
+    of :func:`load_read_codes` for inputs too large to concatenate."""
+    from haslr_tpu import native
+
+    for path in paths:
+        nat = native.read_fastx_encoded(path)
+        if nat is not None:
+            codes, offsets, _n, _c = nat
+            for i in range(len(offsets) - 1):
+                yield codes[offsets[i] : offsets[i + 1]]
+        else:
+            for rec in cio.read_fastx(path):
+                yield cseq.encode(rec.seq)
+
+
 def _clip_tips(unitigs, k: int, min_tip_len: int | None = None,
                rel_cov: float = 0.5):
     """Drop tip unitigs: short, dead-ended on one side, and weaker than the
@@ -81,6 +97,12 @@ def _clip_tips(unitigs, k: int, min_tip_len: int | None = None,
     return kept
 
 
+# above this many input bases the single-shot device counter (which pads
+# the whole stream into one array) gives way to the chunked streaming
+# counter with bounded device/host memory
+STREAMING_THRESHOLD = 1 << 28
+
+
 def assemble_short_reads(
     read_paths: list[str],
     out_fasta: str,
@@ -88,10 +110,26 @@ def assemble_short_reads(
     min_abundance: int = 3,
     asm_type: str = "contigs",
     device: bool = True,
+    streaming: bool | None = None,
+    spill_dir: str | None = None,
 ) -> int:
-    codes = load_read_codes(read_paths)
-    unitigs = dbg.assemble_unitigs(codes, kmer_size, min_abundance,
-                                   device=device)
+    if streaming is None:
+        import os
+
+        total = sum(os.path.getsize(p) for p in read_paths)
+        streaming = device and total > STREAMING_THRESHOLD
+    if streaming:
+        from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
+
+        hi, lo, cnt = count_kmers_streaming(
+            iter_read_codes(read_paths), kmer_size, min_abundance,
+            spill_dir=spill_dir,
+        )
+        unitigs = dbg.unitigs_from_counts(hi, lo, cnt, kmer_size)
+    else:
+        codes = load_read_codes(read_paths)
+        unitigs = dbg.assemble_unitigs(codes, kmer_size, min_abundance,
+                                       device=device)
     if asm_type == "contigs":
         unitigs = _clip_tips(unitigs, kmer_size)
     dbg.write_unitigs_fasta(unitigs, out_fasta)

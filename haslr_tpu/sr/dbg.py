@@ -220,6 +220,13 @@ def assemble_unitigs(codes_with_seps: np.ndarray, k: int, min_abundance: int,
         hi, lo, cnt = kk.count_kmers_device(codes_with_seps, k, min_abundance)
     else:
         hi, lo, cnt = kk.count_kmers_host(codes_with_seps, k, min_abundance)
+    return unitigs_from_counts(hi, lo, cnt, k, native=native)
+
+
+def unitigs_from_counts(hi, lo, cnt, k: int,
+                        native: bool = True) -> list[Unitig]:
+    """Compact a solid-k-mer count table to unitigs (native C++ walker when
+    available, Python fallback otherwise)."""
     if native and k <= 64:
         from haslr_tpu import native as hx_native
 

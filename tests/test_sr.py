@@ -39,6 +39,37 @@ def test_kmer_count_host_vs_device_vs_bruteforce(k):
     np.testing.assert_array_equal(cnt, dcnt)
 
 
+@pytest.mark.parametrize("k,min_count,prefix_bits", [
+    (49, 1, 2), (49, 3, 4), (31, 2, 3), (15, 1, 2), (5, 2, 1),
+])
+def test_kmer_streaming_matches_host(k, min_count, prefix_bits, tmp_path):
+    """The scale-proof streaming counter (chunked input, prefix-partition
+    merge, bounded memory) must reproduce the single-shot counter bit for
+    bit, including the poly-T edge case where a canonical k-mer's first
+    word is all-ones (the pad sentinel)."""
+    from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
+
+    rng = np.random.default_rng(3)
+    reads = [
+        rng.integers(0, 4, rng.integers(60, 300)).astype(np.uint8)
+        for _ in range(120)
+    ]
+    reads.append(np.full(80, 3, np.uint8))  # poly-T run
+    concat = []
+    for r in reads:
+        concat.append(r)
+        concat.append(np.array([kk.SEP], np.uint8))
+    codes = np.concatenate(concat)
+    hh, hl, hc = kk.count_kmers_host(codes, k, min_count)
+    sh, sl, sc = count_kmers_streaming(
+        reads, k, min_count, chunk_bases=8192, prefix_bits=prefix_bits,
+        spill_dir=str(tmp_path / "spill") if prefix_bits == 4 else None,
+    )
+    np.testing.assert_array_equal(hh, sh)
+    np.testing.assert_array_equal(hl, sl)
+    np.testing.assert_array_equal(hc, sc)
+
+
 def test_kmer_abundance_filter():
     codes = np.concatenate(
         [cseq.encode("ACGTACGTAC"), [4], cseq.encode("ACGTACGTAC")]
