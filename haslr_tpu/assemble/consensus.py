@@ -55,23 +55,49 @@ def calc_consensus(
         from haslr_tpu.kernels.consensus import batched_consensus
 
         windows = [_edge_window_seqs(edge, lrs) for edge, _ in edges]
+
+        def _warn(msg):
+            import sys
+
+            print(f"[WARNING] {msg}", file=sys.stderr)
+            if log is not None:
+                print(f"[WARNING] {msg}", file=log)
+
         results = batched_consensus(
             windows,
             match=cfg.poa_match,
             mismatch=cfg.poa_mismatch,
             gap=cfg.poa_gap,
+            warn=_warn,
         )
         for (edge, twin), cns in zip(edges, results):
             edge.cns_seq = cns
             twin.cns_seq = cseq.revcomp(cns)
     else:
-        from haslr_tpu.assemble.poa import poa_consensus
-
-        for edge, twin in edges:
-            seqs = _edge_window_seqs(edge, lrs)
-            cns = poa_consensus(
-                seqs, cfg.poa_match, cfg.poa_mismatch, cfg.poa_gap
-            )
+        windows = [_edge_window_seqs(edge, lrs) for edge, _ in edges]
+        results = _host_poa_windows(
+            windows, cfg.poa_match, cfg.poa_mismatch, cfg.poa_gap
+        )
+        for (edge, twin), cns in zip(edges, results):
             edge.cns_seq = cns
             twin.cns_seq = cseq.revcomp(cns)
     return len(edges)
+
+
+def _host_poa_windows(windows, match, mismatch, gap):
+    """Exact POA per window on host: the native C++ engine (the SPOA-
+    grade batch engine, haslr_tpu/native/poa.cpp) when available, else
+    the Python reference engine — both bit-identical."""
+    from haslr_tpu import native
+
+    code_wins = [
+        [cseq.encode(s) for s in seqs if len(s) > 0] for seqs in windows
+    ]
+    out = native.poa_consensus_native(code_wins, match, mismatch, gap)
+    if out is not None:
+        return [cseq.decode(c) for c in out]
+    from haslr_tpu.assemble.poa import poa_consensus
+
+    return [
+        poa_consensus(seqs, match, mismatch, gap) for seqs in windows
+    ]

@@ -29,6 +29,14 @@ def weighted_interval_scheduling(
     ``compare_Align_Seg``) and the DP assumes that order.  Tie-breaking
     matches ``Longread.cpp:570-601``: an interval joins the solution only if
     it *strictly* improves the running optimum.
+
+    Bounded resources by construction (a deliberate divergence from the
+    reference, documented in docs/DESIGN.md): the C++ uses unchecked
+    fixed ``dp[10000]`` stack arrays (Longread.cpp:528-529) — undefined
+    behavior past 10,000 alignments — and O(n) tracked index lists per
+    cell (O(n^2) memory).  This implementation stores parent pointers
+    (O(n) memory) and vectorizes the predecessor scan for large n, while
+    producing the identical selection for every in-bounds input.
     """
     n = len(q_start)
     if n == 0:
@@ -38,38 +46,48 @@ def weighted_interval_scheduling(
     weight = np.asarray(weight, dtype=np.int64)
 
     # Latest compatible predecessor: the reference scans j from i-1 downward
-    # and takes the first with q_end[j] <= q_start[i] (Longread.cpp:514-522).
-    # We replicate the scan literally rather than bisecting because overlap
-    # fixing (fix_overlapping_alignments) can perturb q_end after the initial
-    # sort, and the reference does not re-sort (Longread.cpp:620).
-    def latest_compatible(i: int) -> int:
-        for j in range(i - 1, -1, -1):
-            if q_end[j] <= q_start[i]:
-                return j
-        return -1
+    # and takes the first with q_end[j] <= q_start[i] (Longread.cpp:514-522),
+    # i.e. the LARGEST such j.  We replicate that result rather than
+    # bisecting on q_end because overlap fixing (fix_overlapping_alignments)
+    # can perturb q_end after the initial sort, and the reference does not
+    # re-sort (Longread.cpp:620).
+    if n <= 256:
+        def latest_compatible(i: int) -> int:
+            for j in range(i - 1, -1, -1):
+                if q_end[j] <= q_start[i]:
+                    return j
+            return -1
+    else:
+        def latest_compatible(i: int) -> int:
+            ok = np.nonzero(q_end[:i] <= q_start[i])[0]
+            return int(ok[-1]) if len(ok) else -1
 
     dp = np.zeros(n, dtype=np.int64)
-    track: list[list[int]] = [[] for _ in range(n)]
+    taken = np.zeros(n, dtype=bool)
+    parent = np.full(n, -1, dtype=np.int64)
     dp[0] = weight[0]
-    track[0] = [0]
+    taken[0] = True
     for i in range(1, n):
         j = latest_compatible(i)
-        if j >= 0:
-            cand = weight[i] + dp[j]
-            if cand > dp[i - 1]:
-                dp[i] = cand
-                track[i] = track[j] + [i]
-            else:
-                dp[i] = dp[i - 1]
-                track[i] = track[i - 1]
+        base = dp[j] if j >= 0 else 0
+        cand = weight[i] + base
+        if cand > dp[i - 1]:
+            dp[i] = cand
+            taken[i] = True
+            parent[i] = j
         else:
-            if weight[i] > dp[i - 1]:
-                dp[i] = weight[i]
-                track[i] = [i]
-            else:
-                dp[i] = dp[i - 1]
-                track[i] = track[i - 1]
-    return track[n - 1]
+            dp[i] = dp[i - 1]
+    # reconstruct the reference's track[n-1]
+    out: list[int] = []
+    i = n - 1
+    while i >= 0:
+        if taken[i]:
+            out.append(i)
+            i = int(parent[i])
+        else:
+            i -= 1
+    out.reverse()
+    return out
 
 
 def best_supported_interval(

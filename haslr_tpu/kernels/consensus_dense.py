@@ -43,7 +43,7 @@ from haslr_tpu.kernels.nw import _align_mapping_inner
 
 DUMP = np.int32(1 << 30)
 
-BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
 def _bucket_size(n: int) -> int:
@@ -252,6 +252,7 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
     drafts = _unpack_rows(flat, draft_off, d_lens0, S)
     d_lens = d_lens0
     overflow = jnp.zeros((N,), jnp.int32)
+    dropped = jnp.zeros((N,), jnp.int32)
     for _ in range(rounds):
         dl_r = d_lens[win_idx]
         dr_r = drafts[win_idx]
@@ -259,6 +260,13 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
             (r_lens > 0)
             & (dl_r > 0)
             & (jnp.abs(r_lens - dl_r) < W // 2 - 4)
+        )
+        skipped = (r_lens > 0) & (dl_r > 0) & ~ok
+        dropped = jnp.maximum(
+            dropped,
+            jnp.zeros((N,), jnp.int32).at[
+                jnp.where(skipped, win_idx, DUMP)
+            ].add(1, mode="drop"),
         )
         mapping = _align_mapping_inner(
             reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
@@ -281,7 +289,8 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
         g[..., 0] | (g[..., 1] << 2) | (g[..., 2] << 4) | (g[..., 3] << 6)
     ).astype(jnp.uint8)
     tail = jax.lax.bitcast_convert_type(
-        jnp.stack([d_lens.astype(jnp.int32), overflow]), jnp.uint8
+        jnp.stack([d_lens.astype(jnp.int32), overflow, dropped]),
+        jnp.uint8,
     ).reshape(-1)
     return jnp.concatenate([packed.reshape(-1), tail])
 
@@ -315,6 +324,7 @@ def dense_consensus(
     # pick drafts + assign buckets on host (cheap)
     groups: dict[int, list[int]] = {}
     drafts0: list[np.ndarray] = []
+    host_wins: list[int] = []
     for wi, codes in enumerate(window_codes):
         nonempty = [c for c in codes if len(c) > 0]
         if not nonempty:
@@ -326,8 +336,21 @@ def dense_consensus(
         drafts0.append(draft)
         S0 = _bucket_size(len(draft))
         W = _band_width(S0)
+        if len(draft) + W // 2 > BUCKETS[-1]:
+            # beyond the largest device bucket (64 kb) an O(L^2) POA is
+            # also memory-infeasible (the reference's SPOA included):
+            # emit the median support unpolished, loudly
+            host_wins.append(wi)
+            results[wi] = draft
+            continue
         S = _bucket_size(len(draft) + W // 2)
         groups.setdefault(S, []).append(wi)
+    if host_wins and warn is not None:
+        warn(
+            f"consensus: {len(host_wins)} window(s) beyond the "
+            f"{BUCKETS[-1]} bp device bucket; emitting their median "
+            "support unpolished"
+        )
 
     for S, wins in sorted(groups.items()):
         W = _band_width(S)
@@ -371,6 +394,7 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
     draft_off = np.zeros(len(win_list), np.int64)
     d_lens0 = np.zeros(len(win_list), np.int64)
     pairs = []  # (length, local window, code) for t_max-tight sorting
+    n_skipped_long = 0
     for li, wi in enumerate(win_list):
         d = drafts0[wi]
         flat_parts.append(d)
@@ -380,6 +404,8 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
         for c in window_codes[wi]:
             if 0 < len(c) <= S:
                 pairs.append((len(c), li, c))
+            elif len(c) > S:
+                n_skipped_long += 1  # cannot band-fit any draft <= S
     # sort reads by length so each Pallas GROUP of 32 gets a tight t_max
     pairs.sort(key=lambda p: p[0])
     for ln, li, c in pairs:
@@ -390,7 +416,10 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
         win_idx.append(li)
 
     N = _pad_shape(len(win_list), 8)
-    B = _pad_shape(len(pairs), 32)
+    # the Pallas kernel groups 32 reads per program; the scan fallback has
+    # no such constraint and its direction tensor scales with B, so pad
+    # less aggressively there
+    B = _pad_shape(len(pairs), 32 if nw.use_pallas_for(32, S, S, W) else 8)
     flat = (
         np.concatenate(flat_parts)
         if flat_parts
@@ -417,14 +446,21 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
         )
     )
     packed = out[: N * (S // 4)].reshape(N, S // 4)
-    tail = out[N * (S // 4) :].view(np.int32).reshape(2, N)
-    d_lens, overflow = tail[0], tail[1]
+    tail = out[N * (S // 4) :].view(np.int32).reshape(3, N)
+    d_lens, overflow, dropped = tail[0], tail[1], tail[2]
     n_over = int((overflow[: len(win_list)] > 0).sum())
     if n_over and warn is not None:
         warn(
             f"consensus: {n_over} window(s) hit the {S} bp bucket cap "
             f"(max overflow {int(overflow.max())} bp); consider the host "
             "POA path for these edges"
+        )
+    n_drop = int(dropped[: len(win_list)].sum()) + n_skipped_long
+    if n_drop and warn is not None:
+        warn(
+            f"consensus: {n_drop} band-incompatible supporting read(s) "
+            f"skipped across {len(win_list)} window(s) in the {S} bp "
+            "bucket (length differs from the draft by >= W/2)"
         )
     for li, wi in enumerate(win_list):
         results[wi] = _unpack_host(packed[li], int(d_lens[li]))

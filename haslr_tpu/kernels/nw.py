@@ -189,6 +189,9 @@ def _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
     """
     B = reads.shape[0]
     T = R + D
+    # int16 halves the transfer/table width; big drafts need int32 (the
+    # insertion encoding -(j+2) must hold -(D+2))
+    out_dtype = jnp.int16 if D <= 32000 else jnp.int32
     if use_pallas:
         # fused DP + in-kernel wavefront traceback: the direction tensor
         # never leaves VMEM and the whole XLA traceback scan disappears
@@ -196,7 +199,7 @@ def _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
 
         mapping = nw_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W,
                                     match, mismatch, gap)
-        return mapping.astype(jnp.int16)
+        return mapping.astype(out_dtype)
     else:
         dirs = _nw_scan_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
                               mismatch, gap)
@@ -231,8 +234,7 @@ def _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
         None,
         length=T,
     )
-    # int16 halves the device->host transfer; positions fit for D <= 32k
-    return mapping[:, :R].astype(jnp.int16)
+    return mapping[:, :R].astype(out_dtype)
 
 
 _align_mapping = functools.partial(

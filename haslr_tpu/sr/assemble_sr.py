@@ -125,12 +125,22 @@ def assemble_short_reads(
             iter_read_codes(read_paths), kmer_size, min_abundance,
             spill_dir=spill_dir,
         )
-        unitigs = dbg.unitigs_from_counts(hi, lo, cnt, kmer_size)
     else:
+        from haslr_tpu.kernels import kmer as kk
+
         codes = load_read_codes(read_paths)
-        unitigs = dbg.assemble_unitigs(codes, kmer_size, min_abundance,
-                                       device=device)
+        if device:
+            hi, lo, cnt = kk.count_kmers_device(codes, kmer_size,
+                                                min_abundance)
+        else:
+            hi, lo, cnt = kk.count_kmers_host(codes, kmer_size,
+                                              min_abundance)
     if asm_type == "contigs":
+        # minia's contig-level simplification: coverage-ranked simple-
+        # bubble popping (het SNPs / error bulges), then tip clipping
+        unitigs = dbg.pop_bubbles(hi, lo, cnt, kmer_size)
         unitigs = _clip_tips(unitigs, kmer_size)
+    else:
+        unitigs = dbg.unitigs_from_counts(hi, lo, cnt, kmer_size)
     dbg.write_unitigs_fasta(unitigs, out_fasta)
     return len(unitigs)

@@ -193,6 +193,110 @@ class DeBruijnGraph:
                     u.links.append(("-", r[0], r[1]))
 
 
+def _side_links(u: Unitig, side: str):
+    return [(t, ts) for s, t, ts in u.links if s == side]
+
+
+def find_simple_bubbles(unitigs: list[Unitig], k: int,
+                        max_branch_len: int | None = None) -> list[int]:
+    """Simple-bubble detection on the bidirected unitig graph.
+
+    A bubble is a source end with exactly two out-links to two distinct
+    *interior* unitigs (one in-link on the entry side, one out-link on the
+    exit side) that converge on the same oriented sink — the pattern a
+    heterozygous SNP or a sequencing-error bulge leaves in the dBG.  The
+    lower-mean-abundance branch is reported for removal (minia's
+    coverage-ranked simplification for its "contigs" output; the reference
+    consumes those contigs per Contig.cpp:43-117).  Only short branches
+    pop (default < 3k bp) so genuine repeats survive."""
+    if max_branch_len is None:
+        max_branch_len = 3 * k
+    drop: set[int] = set()
+
+    def interior_exit(t: int, ts: str):
+        """If unitig t entered with orientation ts is interior, return its
+        oriented exit target; else None."""
+        u = unitigs[t]
+        entry_side = "-" if ts == "+" else "+"
+        exit_side = ts
+        ins = _side_links(u, entry_side)
+        outs = _side_links(u, exit_side)
+        if len(ins) != 1 or len(outs) != 1:
+            return None
+        return outs[0]
+
+    for x in unitigs:
+        for side in ("+", "-"):
+            outs = _side_links(x, side)
+            if len(outs) != 2:
+                continue
+            (t1, s1), (t2, s2) = outs
+            if t1 == t2 or x.uid in (t1, t2):
+                continue
+            if t1 in drop or t2 in drop:
+                continue
+            u1, u2 = unitigs[t1], unitigs[t2]
+            if (len(u1.seq) > max_branch_len
+                    or len(u2.seq) > max_branch_len):
+                continue
+            e1 = interior_exit(t1, s1)
+            e2 = interior_exit(t2, s2)
+            if e1 is None or e2 is None or e1 != e2:
+                continue
+            if e1[0] in (t1, t2, x.uid):
+                continue  # degenerate loop
+            # drop the weaker branch; tie -> higher uid (deterministic)
+            if (u1.km, -u1.uid) < (u2.km, -u2.uid):
+                drop.add(t1)
+            else:
+                drop.add(t2)
+    return sorted(drop)
+
+
+def _kmer_ints(seq: str, k: int):
+    from haslr_tpu.core import seq as cseq
+
+    codes = cseq.encode(seq)
+    v = 0
+    for c in codes[:k]:
+        v = (v << 2) | int(c)
+    yield v
+    mask = (1 << (2 * k)) - 1
+    for c in codes[k:]:
+        v = ((v << 2) | int(c)) & mask
+        yield v
+
+
+def pop_bubbles(hi, lo, cnt, k: int, native: bool = True,
+                max_rounds: int = 8):
+    """Iteratively remove simple-bubble branches from the solid k-mer set
+    and re-compact, until the unitig graph is bubble-free (or max_rounds).
+    Returns the simplified unitig list."""
+    counts = {}
+    for h, l, c in zip(hi.tolist(), lo.tolist(), cnt.tolist()):
+        counts[(int(h) << 64) | int(l)] = int(c)
+
+    def rebuild():
+        n = len(counts)
+        keys = sorted(counts)
+        h = np.array([v >> 64 for v in keys], np.uint64)
+        l = np.array([v & ((1 << 64) - 1) for v in keys], np.uint64)
+        c = np.array([counts[v] for v in keys], np.int64)
+        return unitigs_from_counts(h, l, c, k, native=native), n
+
+    unitigs, _ = rebuild()
+    for _ in range(max_rounds):
+        doomed = find_simple_bubbles(unitigs, k)
+        if not doomed:
+            break
+        for uid in doomed:
+            for v in _kmer_ints(unitigs[uid].seq, k):
+                r = rc_int(v, k)
+                counts.pop(min(v, r), None)
+        unitigs, _ = rebuild()
+    return unitigs
+
+
 def write_unitigs_fasta(unitigs: list[Unitig], path: str):
     """Minia-format FASTA: ``>id LN:i: KC:i: km:f: L:...`` headers."""
     with open(path, "w") as fp:

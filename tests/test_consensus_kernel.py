@@ -190,6 +190,51 @@ def test_dense_engine_matches_chunked():
     assert dense == chunk
 
 
+def test_long_window_40kb():
+    """Windows far past the old 16 kb cap must produce a real consensus
+    through the big-bucket scan path (reference SPOA handles any span,
+    Assemble.cpp:479-560)."""
+    rng = np.random.default_rng(17)
+    bases = "ACGT"
+    true = "".join(bases[i] for i in rng.integers(0, 4, 40_000))
+
+    def mutate(s, rate=0.03):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < rate / 3:
+                continue
+            if r < 2 * rate / 3:
+                out.append(bases[rng.integers(0, 4)])
+            else:
+                out.append(ch)
+                if r < rate:
+                    out.append(bases[rng.integers(0, 4)])
+        return "".join(out)
+
+    warns = []
+    outs = batched_consensus(
+        [[mutate(true) for _ in range(3)]], rounds=1, warn=warns.append
+    )
+    cons = outs[0]
+    assert len(cons) > 38_000
+    k = 31
+    tk = {true[i : i + k] for i in range(0, len(true) - k + 1, 7)}
+    ck = {cons[i : i + k] for i in range(len(cons) - k + 1)}
+    assert len(tk & ck) / len(tk) > 0.8
+
+
+def test_oversized_window_warns_and_returns_draft():
+    """Past the largest bucket the engine must degrade loudly, not
+    silently emit an empty/truncated consensus."""
+    rng = np.random.default_rng(18)
+    s = "".join("ACGT"[i] for i in rng.integers(0, 4, 70_000))
+    warns = []
+    outs = batched_consensus([[s, s, s]], warn=warns.append)
+    assert outs[0] == s
+    assert any("beyond" in w for w in warns)
+
+
 def test_batched_consensus_mixed_lengths():
     # windows of very different sizes exercise multiple buckets in one call
     rng = np.random.default_rng(9)

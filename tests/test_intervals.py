@@ -63,6 +63,79 @@ def test_wis_matches_bruteforce():
         assert sum(w[i] for i in chosen) == _brute_force_wis(qs, qe, w)
 
 
+def test_wis_matches_reference_literal():
+    """The bounded parent-pointer DP must reproduce the reference's
+    track-list DP (Longread.cpp:570-601) exactly, including on inputs
+    where overlap fixing left q_end unsorted."""
+
+    def reference_literal(q_start, q_end, weight):
+        n = len(q_start)
+        if n == 0:
+            return []
+        dp = [0] * n
+        track = [[] for _ in range(n)]
+        dp[0] = weight[0]
+        track[0] = [0]
+        for i in range(1, n):
+            j = -1
+            for jj in range(i - 1, -1, -1):
+                if q_end[jj] <= q_start[i]:
+                    j = jj
+                    break
+            if j != -1:
+                if weight[i] + dp[j] > dp[i - 1]:
+                    dp[i] = weight[i] + dp[j]
+                    track[i] = track[j] + [i]
+                else:
+                    dp[i] = dp[i - 1]
+                    track[i] = track[i - 1]
+            else:
+                if weight[i] > dp[i - 1]:
+                    dp[i] = weight[i]
+                    track[i] = [i]
+                else:
+                    dp[i] = dp[i - 1]
+                    track[i] = track[i - 1]
+        return track[n - 1]
+
+    rng = np.random.default_rng(4)
+    for trial in range(200):
+        n = int(rng.integers(1, 40))
+        qs = rng.integers(0, 500, n)
+        qe = qs + rng.integers(1, 120, n)
+        order = np.lexsort((qs, qe))
+        qs, qe = qs[order], qe[order]
+        if trial % 3 == 0:
+            # simulate fix_overlapping_alignments perturbing q_end
+            idx = rng.integers(0, n)
+            qe[idx] = max(qs[idx] + 1, qe[idx] - int(rng.integers(0, 50)))
+        w = rng.integers(1, 1000, n)
+        assert weighted_interval_scheduling(qs, qe, w) == \
+            reference_literal(list(qs), list(qe), list(w))
+
+
+def test_wis_large_input_bounded():
+    """Reads with tens of thousands of alignments must complete quickly
+    (the reference's fixed dp[10000] arrays are UB there; see
+    docs/DESIGN.md)."""
+    import time
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    qs = rng.integers(0, 1_000_000, n)
+    qe = qs + rng.integers(1, 5000, n)
+    order = np.lexsort((qs, qe))
+    qs, qe = qs[order], qe[order]
+    w = rng.integers(1, 1000, n)
+    t0 = time.time()
+    out = weighted_interval_scheduling(qs, qe, w)
+    assert time.time() - t0 < 20
+    assert len(out) > 0
+    chosen_e = qe[out]
+    chosen_s = qs[out]
+    assert (chosen_s[1:] >= chosen_e[:-1]).all()
+
+
 def test_best_supported_interval_basic():
     # three intervals, the middle region covered by all three
     begs = np.array([0, 2, 4])

@@ -102,6 +102,52 @@ def test_unitigs_single_chain():
     assert u.links == []
 
 
+def test_bubble_popping_het_snp():
+    """A heterozygous SNP splits the dBG into a 4-unitig bubble; minia-
+    style contig simplification must pop the weaker branch and re-compact
+    to the homozygous contig count (one)."""
+    rng = np.random.default_rng(7)
+    genome = _rand_seq(rng, 3000)
+    pos = 1500
+    alt_base = "ACGT"[("ACGT".index(genome[pos]) + 1) % 4]
+    variant = genome[:pos] + alt_base + genome[pos + 1 :]
+    k = 31
+    # higher coverage on the reference haplotype -> it must win
+    codes = np.concatenate(
+        [cseq.encode(genome), [4]] * 3 + [cseq.encode(variant), [4]] * 2
+    ).astype(np.uint8)
+    from haslr_tpu.kernels import kmer as kk
+
+    hi, lo, cnt = kk.count_kmers_host(codes, k, 1)
+    # sanity: the bubble exists before popping
+    raw = dbg.unitigs_from_counts(hi, lo, cnt, k, native=False)
+    assert len(raw) == 4
+    bubbles = dbg.find_simple_bubbles(raw, k)
+    assert len(bubbles) == 1
+    popped = dbg.pop_bubbles(hi, lo, cnt, k, native=False)
+    assert len(popped) == 1
+    assert popped[0].seq in (genome, cseq.revcomp(genome))
+
+
+def test_bubble_popping_keeps_repeats():
+    """Long divergent paths (genuine repeats/alleles) must NOT pop."""
+    rng = np.random.default_rng(8)
+    a = _rand_seq(rng, 800)
+    mid1 = _rand_seq(rng, 400)
+    mid2 = _rand_seq(rng, 400)
+    b = _rand_seq(rng, 800)
+    k = 31
+    codes = np.concatenate(
+        [cseq.encode(a + mid1 + b), [4], cseq.encode(a + mid2 + b), [4]]
+    ).astype(np.uint8)
+    from haslr_tpu.kernels import kmer as kk
+
+    hi, lo, cnt = kk.count_kmers_host(codes, k, 1)
+    raw = dbg.unitigs_from_counts(hi, lo, cnt, k, native=False)
+    popped = dbg.pop_bubbles(hi, lo, cnt, k, native=False)
+    assert len(popped) == len(raw)
+
+
 def test_unitigs_break_at_repeat():
     """A repeated block forces junctions: expect >1 unitig and links."""
     rng = np.random.default_rng(3)
