@@ -263,6 +263,7 @@ def map_reads(
     read_type: str = "pacbio",
     min_chain_score: float = 40.0,
     threads: int = 1,
+    host_shard: tuple[int, int] | None = None,
 ) -> int:
     """Map all reads; writes PAF; returns the record count.
 
@@ -273,19 +274,28 @@ def map_reads(
     §2.3); (2) ONE batched device alignment over every NW segment of every
     read, in this process, so the accelerator serves the whole read
     stream; (3) CIGAR assembly + PAF emission in read-file order.
+
+    ``host_shard=(i, n)``: multi-host data-parallel streaming — this
+    process maps only reads with ``read_index % n == i`` (the minimizer
+    index is replicated, reads stream host-local).  Each host writes its
+    own PAF shard; the assembler merges them via ``mapping_fofn``.  Use
+    ``haslr_tpu.dist.host_shard()`` under ``jax.distributed``.
     """
     k, w, hpc = PRESETS[read_type]
     contig_names, contig_codes = _load_contigs(contig_fasta)
     idx = MinimizerIndex.build(contig_codes, k, w, hpc)
+    sh_i, sh_n = host_shard if host_shard is not None else (0, 1)
 
     if threads > 1:
         pending, segments = _seed_chain_shards(
-            contig_fasta, reads_fasta, read_type, min_chain_score, threads
+            contig_fasta, reads_fasta, read_type, min_chain_score, threads,
+            host_shard,
         )
     else:
         def reads():
             for ri, rec in enumerate(cio.read_fastx(reads_fasta)):
-                yield ri, rec.name, cseq.encode(rec.seq)
+                if ri % sh_n == sh_i:
+                    yield ri, rec.name, cseq.encode(rec.seq)
 
         pending, segments = _seed_chain_segments(
             idx, contig_codes, reads(), min_chain_score
@@ -301,29 +311,32 @@ def map_reads(
 
 def _shard_worker(args):
     (contig_fasta, reads_fasta, read_type, min_chain_score, shard_idx,
-     n_shards) = args
+     n_shards, host_shard) = args
     # phase 1 only: pure host work, no jax import, no device claim
     k, w, hpc = PRESETS[read_type]
     _, contig_codes = _load_contigs(contig_fasta)
     idx = MinimizerIndex.build(contig_codes, k, w, hpc)
+    sh_i, sh_n = host_shard if host_shard is not None else (0, 1)
 
     def reads():
         for ri, rec in enumerate(cio.read_fastx(reads_fasta)):
-            if ri % n_shards == shard_idx:
+            if ri % sh_n == sh_i and (ri // sh_n) % n_shards == shard_idx:
                 yield ri, rec.name, cseq.encode(rec.seq)
 
     return _seed_chain_segments(idx, contig_codes, reads(), min_chain_score)
 
 
 def _seed_chain_shards(
-    contig_fasta, reads_fasta, read_type, min_chain_score, threads
+    contig_fasta, reads_fasta, read_type, min_chain_score, threads,
+    host_shard=None,
 ):
     """Run phase 1 across worker processes; returns merged (pending,
     segments) with segment bases rebased onto the concatenated list."""
     import multiprocessing as mp
 
     args = [
-        (contig_fasta, reads_fasta, read_type, min_chain_score, i, threads)
+        (contig_fasta, reads_fasta, read_type, min_chain_score, i, threads,
+         host_shard)
         for i in range(threads)
     ]
     ctx = mp.get_context("spawn")

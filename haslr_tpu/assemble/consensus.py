@@ -38,10 +38,17 @@ def _edge_window_seqs(edge: bb.BBGEdge, lrs) -> list[str]:
 
 
 def calc_consensus(
-    graph, lrs, cfg: AssembleConfig | None = None, log=None
+    graph, lrs, cfg: AssembleConfig | None = None, log=None, mesh=None
 ) -> int:
     """Consensus for every unique edge; flags edges 12 like the reference
-    work queue.  Returns the number of edges processed."""
+    work queue.  Returns the number of edges processed.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis for the
+    ``"tpu"`` engine — supporting reads shard data-parallel across the
+    mesh and per-window vote tables psum-merge (the multi-chip
+    replacement for the reference's pthread edge queue,
+    Assemble.cpp:436-477,562-605); output is bit-identical to the
+    single-device run."""
     cfg = cfg or AssembleConfig()
     edges = []
     for n1, r1, n2, r2, edge, twin in bb.unique_edges(graph):
@@ -69,6 +76,7 @@ def calc_consensus(
             mismatch=cfg.poa_mismatch,
             gap=cfg.poa_gap,
             warn=_warn,
+            mesh=mesh,
         )
         for (edge, twin), cns in zip(edges, results):
             edge.cns_seq = cns

@@ -59,6 +59,7 @@ def run_assembler(
     log=sys.stderr,
     long_fofn: bool = False,
     mapping_fofn: bool = False,
+    mesh=None,
 ) -> dict:
     """Full assembler run; returns a stats dict (uniq_freq, edge/contig
     counts, output path).
@@ -66,7 +67,8 @@ def run_assembler(
     ``long_fofn``/``mapping_fofn`` treat the respective paths as
     file-of-file-names, like the reference's ``--long-fofn``/
     ``--mapping-fofn`` (Commandline.cpp:140-146, Longread.cpp:164-180,
-    304-320).
+    304-320).  ``mesh``: optional ``jax.sharding.Mesh`` (``dp`` axis) —
+    the consensus stage shards its read batches across it.
     """
     cfg = cfg or AssembleConfig()
     os.makedirs(out_dir, exist_ok=True)
@@ -193,7 +195,7 @@ def run_assembler(
     t.elapsed()
 
     t.note("calling consensus sequence between anchors...")
-    calc_consensus(graph, lrs, cfg)
+    calc_consensus(graph, lrs, cfg, mesh=mesh)
     t.elapsed()
 
     t.note("generating the assembly from the cleaned backbone graph...")

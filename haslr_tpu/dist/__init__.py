@@ -6,4 +6,44 @@ the SR-contig/minimizer index is replicated per host, long reads stream
 data-parallel across the mesh, per-edge support counts merge with
 ``jax.lax.psum``, and graph cleaning runs replicated on the reduced
 backbone.
+
+Multi-host bring-up: call :func:`initialize` once per process (before any
+device use), shard the long-read stream with
+``map_reads(..., host_shard=host_shard())``, and pass
+``mesh.make_mesh()`` (all global devices) to ``run_assembler``/
+``calc_consensus`` — the consensus stage psum-merges over the mesh and
+every host computes identical drafts, so graph cleaning and stitching
+stay replicated-deterministic.
 """
+
+from __future__ import annotations
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up ``jax.distributed`` for multi-host runs.
+
+    All-``None`` arguments auto-detect the cluster environment (TPU pod
+    metadata / SLURM), matching ``jax.distributed.initialize`` semantics.
+    Safe to call in a single-process run: failures to detect a cluster
+    leave JAX in single-process mode.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address, num_processes, process_id
+        )
+    except (RuntimeError, ValueError):
+        # already initialized, or no cluster environment detected —
+        # single-process mode, mirroring the reference's single-node run
+        pass
+
+
+def host_shard() -> tuple[int, int]:
+    """(process_index, process_count) — the round-robin shard this host
+    owns in the data-parallel long-read stream."""
+    import jax
+
+    return jax.process_index(), jax.process_count()

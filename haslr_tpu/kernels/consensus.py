@@ -258,6 +258,7 @@ def batched_consensus(
     device_pileup: bool = True,
     engine: str = "dense",
     warn=None,
+    mesh=None,
 ) -> list[str]:
     """Consensus string per window (list of supporting subsequences).
 
@@ -265,7 +266,10 @@ def batched_consensus(
     one device computation per length bucket
     (:mod:`haslr_tpu.kernels.consensus_dense`); ``engine="chunked"`` is
     the round-1 path that hops back to host between rounds (kept as a
-    reference implementation — both must produce identical output)."""
+    reference implementation — both must produce identical output).
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — the
+    dense engine shards each bucket's read batch across it (bit-identical
+    output)."""
     window_codes = []
     for seqs in windows:
         window_codes.append([cseq.encode(s) for s in seqs if len(s) > 0])
@@ -273,7 +277,7 @@ def batched_consensus(
         from haslr_tpu.kernels.consensus_dense import dense_consensus
 
         drafts = dense_consensus(window_codes, match, mismatch, gap,
-                                 rounds, warn=warn)
+                                 rounds, warn=warn, mesh=mesh)
         return [cseq.decode(d) for d in drafts]
     drafts = []
     for codes in window_codes:

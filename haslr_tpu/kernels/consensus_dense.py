@@ -232,22 +232,18 @@ def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
     return new_drafts, new_d_lens, total_keep
 
 
-@functools.partial(
-    jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8)
-)
-def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
-    """The whole multi-round consensus for one bucket, on device.
+def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
+                 N, S, W, rounds, match, mismatch, gap, use_pallas,
+                 axis=None):
+    """The multi-round consensus body (device side).
 
-    ``meta`` packs [read_off | r_lens | win_idx | draft_off | d_lens]
-    into one int32 array so the host->device hop is a single transfer
-    (each separate transfer costs ~25-45 ms of relay latency here)."""
-    B = (meta.shape[0] - 2 * N) // 3
-    read_off = meta[:B]
-    r_lens = meta[B : 2 * B]
-    win_idx = meta[2 * B : 3 * B]
-    draft_off = meta[3 * B : 3 * B + N]
-    d_lens0 = meta[3 * B + N :]
-    use_pallas = nw.use_pallas_for(B, S, S, W)
+    ``axis``: optional mesh axis name.  When set, the READ batch is the
+    per-device shard of a ``shard_map`` over that axis while ``flat`` and
+    the draft metadata are replicated; the additive vote tables are
+    psum-merged each round so the vote + draft compaction runs replicated
+    and every device carries identical drafts into the next round — the
+    multi-chip mapping of SURVEY.md §2.3 (data-parallel reads, replicated
+    index, psum-merged per-window counts)."""
     reads = _unpack_rows(flat, read_off, r_lens, S)
     drafts = _unpack_rows(flat, draft_off, d_lens0, S)
     d_lens = d_lens0
@@ -262,17 +258,19 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
             & (jnp.abs(r_lens - dl_r) < W // 2 - 4)
         )
         skipped = (r_lens > 0) & (dl_r > 0) & ~ok
-        dropped = jnp.maximum(
-            dropped,
-            jnp.zeros((N,), jnp.int32).at[
-                jnp.where(skipped, win_idx, DUMP)
-            ].add(1, mode="drop"),
-        )
+        drop_r = jnp.zeros((N,), jnp.int32).at[
+            jnp.where(skipped, win_idx, DUMP)
+        ].add(1, mode="drop")
+        if axis is not None:
+            drop_r = jax.lax.psum(drop_r, axis)
+        dropped = jnp.maximum(dropped, drop_r)
         mapping = _align_mapping_inner(
             reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
             use_pallas,
         )
         tables = _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S)
+        if axis is not None:
+            tables = jax.lax.psum(tables, axis)
         drafts, d_lens, total_keep = _vote_compact(
             *tables, drafts, d_lens, N, S
         )
@@ -295,6 +293,54 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
     return jnp.concatenate([packed.reshape(-1), tail])
 
 
+@functools.partial(
+    jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8)
+)
+def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
+    """Single-device entry: the whole multi-round consensus for one
+    bucket, on device.
+
+    ``meta`` packs [read_off | r_lens | win_idx | draft_off | d_lens]
+    into one int32 array so the host->device hop is a single transfer
+    (each separate transfer costs ~25-45 ms of relay latency here)."""
+    B = (meta.shape[0] - 2 * N) // 3
+    use_pallas = nw.use_pallas_for(B, S, S, W)
+    return _rounds_impl(
+        flat, meta[:B], meta[B : 2 * B], meta[2 * B : 3 * B],
+        meta[3 * B : 3 * B + N], meta[3 * B + N :],
+        N, S, W, rounds, match, mismatch, gap, use_pallas,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_rounds(mesh, N, S, W, rounds, match, mismatch, gap,
+                         use_pallas):
+    """Jitted shard_map of the round body over the mesh's ``dp`` axis:
+    reads data-parallel, flat code array + draft meta replicated, vote
+    tables psum-merged, output replicated (identical on every device)."""
+    from jax.sharding import PartitionSpec as P
+
+    def _step(flat, rmeta, dmeta):
+        return _rounds_impl(
+            flat, rmeta[0], rmeta[1], rmeta[2], dmeta[0], dmeta[1],
+            N, S, W, rounds, match, mismatch, gap, use_pallas, axis="dp",
+        )
+
+    # check_vma=False: the NW scan's carry mixes unvarying init values
+    # with dp-varying read rows, which the static VMA checker rejects even
+    # though the computation is sound; the output IS replicated (votes are
+    # psum-merged before any draft update) and dryrun_multichip asserts
+    # bit-equality with the single-device path.
+    sm = jax.shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(P(), P(None, "dp"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
 def _unpack_host(packed_row: np.ndarray, length: int) -> np.ndarray:
     b = packed_row[: (length + 3) // 4]
     out = np.empty(((len(b)) * 4,), np.uint8)
@@ -312,12 +358,16 @@ def dense_consensus(
     gap: int = -8,
     rounds: int = 2,
     warn=None,
+    mesh=None,
 ) -> list[np.ndarray]:
     """Consensus codes per window, one device round trip per bucket.
 
     ``window_codes``: per window, the supporting subsequences as uint8
     2-bit code arrays.  ``warn``: optional callable for overflow/drop
-    notices (windows whose consensus hit the bucket cap)."""
+    notices (windows whose consensus hit the bucket cap).  ``mesh``: an
+    optional ``jax.sharding.Mesh`` with a ``dp`` axis; when given, each
+    bucket's read batch is sharded across the mesh and vote tables merge
+    with psum — output is bit-identical to the single-device path."""
     n_win = len(window_codes)
     results: list[np.ndarray | None] = [None] * n_win
 
@@ -352,6 +402,7 @@ def dense_consensus(
             "support unpolished"
         )
 
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
     for S, wins in sorted(groups.items()):
         W = _band_width(S)
         # split oversized groups only when the XLA scan fallback would
@@ -361,9 +412,9 @@ def dense_consensus(
         if nw.use_pallas_for(32, S, S, W):
             # directions live in per-program VMEM scratch; the cap here is
             # XLA/Mosaic compile time, which degrades past ~8k rows
-            max_b = 8192
+            max_b = 8192 * n_dev
         else:
-            max_b = max(64, (1 << 30) // ((2 * S + 1) * W))
+            max_b = max(64, n_dev * (1 << 30) // ((2 * S + 1) * W))
         sub: list[list[int]] = [[]]
         acc = 0
         for wi in wins:
@@ -379,12 +430,12 @@ def dense_consensus(
             acc += cnt
         for win_list in sub:
             _run_group(window_codes, drafts0, results, win_list, S, W,
-                       match, mismatch, gap, rounds, warn)
+                       match, mismatch, gap, rounds, warn, mesh)
     return [r if r is not None else np.zeros(0, np.uint8) for r in results]
 
 
 def _run_group(window_codes, drafts0, results, win_list, S, W, match,
-               mismatch, gap, rounds, warn):
+               mismatch, gap, rounds, warn, mesh=None):
     """Pack one bucket group, run the device rounds, unpack results."""
     flat_parts: list[np.ndarray] = []
     flat_len = 0
@@ -418,8 +469,11 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
     N = _pad_shape(len(win_list), 8)
     # the Pallas kernel groups 32 reads per program; the scan fallback has
     # no such constraint and its direction tensor scales with B, so pad
-    # less aggressively there
-    B = _pad_shape(len(pairs), 32 if nw.use_pallas_for(32, S, S, W) else 8)
+    # less aggressively there.  Under a mesh, B must also split evenly
+    # across devices with each shard keeping the grouping multiple.
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    unit = (32 if nw.use_pallas_for(32, S, S, W) else 8) * n_dev
+    B = _pad_shape(len(pairs), unit)
     flat = (
         np.concatenate(flat_parts)
         if flat_parts
@@ -438,13 +492,30 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
     do[: len(win_list)] = draft_off
     dl[: len(win_list)] = d_lens0
 
-    meta = np.concatenate([ro, rl, wx, do, dl]).astype(np.int32)
-    out = np.asarray(
-        _dense_rounds(
-            jnp.asarray(flat), jnp.asarray(meta),
-            N, S, W, rounds, match, mismatch, gap,
+    if mesh is None:
+        meta = np.concatenate([ro, rl, wx, do, dl]).astype(np.int32)
+        out = np.asarray(
+            _dense_rounds(
+                jnp.asarray(flat), jnp.asarray(meta),
+                N, S, W, rounds, match, mismatch, gap,
+            )
         )
-    )
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rmeta = np.stack([ro, rl, wx]).astype(np.int32)
+        dmeta = np.stack([do, dl]).astype(np.int32)
+        use_pallas = nw.use_pallas_for(B // n_dev, S, S, W)
+        fn = _make_sharded_rounds(
+            mesh, N, S, W, rounds, match, mismatch, gap, use_pallas
+        )
+        out = np.asarray(
+            fn(
+                jax.device_put(flat, NamedSharding(mesh, P())),
+                jax.device_put(rmeta, NamedSharding(mesh, P(None, "dp"))),
+                jax.device_put(dmeta, NamedSharding(mesh, P())),
+            )
+        )
     packed = out[: N * (S // 4)].reshape(N, S // 4)
     tail = out[N * (S // 4) :].view(np.int32).reshape(3, N)
     d_lens, overflow, dropped = tail[0], tail[1], tail[2]

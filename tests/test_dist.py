@@ -48,6 +48,44 @@ def test_sharded_consensus_step_matches_single_device():
     np.testing.assert_array_equal(supp, ref_supp)
 
 
+def test_sharded_dense_consensus_matches_single_device():
+    """The PRODUCTION consensus engine sharded over the dp mesh must be
+    bit-identical to the single-device run (vote tables psum-merge; the
+    replicated vote/compact sees identical counts either way)."""
+    from haslr_tpu.dist.mesh import make_mesh
+    from haslr_tpu.kernels.consensus import batched_consensus
+
+    rng = np.random.default_rng(11)
+    bases = "ACGT"
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.02:
+                continue
+            if r < 0.04:
+                out.append(bases[rng.integers(0, 4)])
+            else:
+                out.append(ch)
+                if r < 0.06:
+                    out.append(bases[rng.integers(0, 4)])
+        return "".join(out)
+
+    windows = []
+    for wi in range(23):
+        L = int(rng.integers(80, 700))
+        true = "".join(bases[i] for i in rng.integers(0, 4, L))
+        n_sup = int(rng.integers(1, 14))
+        windows.append([mutate(true) for _ in range(n_sup)])
+    windows.append([])  # empty window
+    windows.append(["ACGT"])  # singleton
+
+    single = batched_consensus(windows)
+    sharded = batched_consensus(windows, mesh=make_mesh(8))
+    assert single == sharded
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as g
 
