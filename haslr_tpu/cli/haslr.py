@@ -158,16 +158,36 @@ def assemble_lr(cfg: PipelineConfig, lr_file: str, src_file: str,
     return f"{asm_dir}/asm.final.fa"
 
 
+# wall-clock per stage of the last run_pipeline call (the per-stage
+# breakdown scripts/bench_e2e.py records; the reference's driver
+# timestamps each stage the same way, bin/haslr.py:55-82)
+STAGE_TIMES: dict[str, float] = {}
+
+
 def run_pipeline(cfg: PipelineConfig) -> str:
+    import time
+
     os.makedirs(cfg.out, exist_ok=True)
     sys.stdout.write(f"number of threads: {cfg.threads}\n")
     sys.stdout.write(f"output directory: {cfg.out}\n")
+    STAGE_TIMES.clear()
+    t = time.time()
     lr_file = prepare_lrs(cfg)
+    STAGE_TIMES["prepare_lrs"] = time.time() - t
     if cfg.contig is None:
+        t = time.time()
         assemble_srs(cfg)
+        STAGE_TIMES["assemble_srs"] = time.time() - t
+    t = time.time()
     noov_file, good_file = remove_short_src(cfg)
+    STAGE_TIMES["remove_short_src"] = time.time() - t
+    t = time.time()
     paf = align_lr_src(cfg, lr_file, good_file)
-    return assemble_lr(cfg, lr_file, noov_file, paf)
+    STAGE_TIMES["align_lr_src"] = time.time() - t
+    t = time.time()
+    out = assemble_lr(cfg, lr_file, noov_file, paf)
+    STAGE_TIMES["assemble_lr"] = time.time() - t
+    return out
 
 
 def parse_options(argv=None) -> PipelineConfig:

@@ -128,6 +128,8 @@ def main():
     gk = kmer_set(genome[1500:-1500])
     recall = len(gk & ak) / len(gk)
 
+    from haslr_tpu.cli import haslr as cli_mod
+
     print(json.dumps({
         "metric": "e2e_wall_s",
         "value": round(wall, 1),
@@ -139,6 +141,9 @@ def main():
         "ng50": int(ng50(lens, len(genome))),
         "kmer_recall": round(recall, 5),
         "sim_s": round(sim_dt, 1),
+        "stages_s": {
+            k: round(v, 1) for k, v in cli_mod.STAGE_TIMES.items()
+        },
     }))
 
 
