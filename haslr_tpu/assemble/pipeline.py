@@ -199,11 +199,21 @@ def run_assembler(
     t.elapsed()
 
     t.note("generating the assembly from the cleaned backbone graph...")
+    bridge_chains = None
+    if cfg.resolve_repeats:
+        # the same unique-anchor filter build_graph applies
+        thresh = uniq_freq * (1 + cfg.max_uniq_dev)
+        bridge_chains = [
+            [a for a in chain if contigs.mean_kmer[a.t_id] <= thresh]
+            for chain in compact
+        ]
     nb_ctg = get_assembly(
         graph,
         contigs,
         out_dir,
         warn=lambda m: print(f"[WARNING] {m}", file=log),
+        bridge_chains=bridge_chains,
+        min_bridge_support=cfg.min_bridge_support,
     )
     t.elapsed()
 

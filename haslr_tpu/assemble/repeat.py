@@ -343,3 +343,197 @@ def extract_read_paths(graph):
             if len(path) > 1:
                 paths.append(path)
     return paths
+
+
+def _variant(path, orient: int):
+    """A path's anchor list in one of its two walk orientations."""
+    if orient == 0:
+        return [(int(n), int(s)) for n, s in path]
+    return [(int(n), 1 - int(s)) for n, s in reversed(path)]
+
+
+def _twin_bridge(bridge):
+    (pa, oa), (pb, ob), route = bridge
+    tr = tuple((n, 1 - s) for n, s in reversed(route))
+    return ((pb, 1 - ob), (pa, 1 - oa), tr)
+
+
+def _canon_bridge(bridge):
+    return min(bridge, _twin_bridge(bridge))
+
+
+def find_path_bridges(graph, path_list, compact_lr_list, min_flank=2):
+    """Read-supported joins between simple-path ends THROUGH the graph.
+
+    The wired-up form of the reference's excluded ``Align_LR2path``
+    capability (bridge simple paths through repeat paths,
+    Align_LR2path.cpp:510+): a long read whose compact anchor chain exits
+    one path's terminal anchors, walks a route of still-present (branching
+    / repeat) edges, and enters another path's first anchors supports
+    joining the two paths through that route.
+
+    Returns ``{canonical_bridge: set(read_ids)}`` where a bridge is
+    ``((path_a, orient_a), (path_b, orient_b), route)`` — join the END of
+    variant a to the START of variant b via the ``route`` interior anchors
+    (possibly empty).  Every route edge is verified to exist in the
+    cleaned graph.
+    """
+    from haslr_tpu.assemble import backbone as bb
+
+    variants = [
+        (_variant(p, 0), _variant(p, 1)) for p in path_list
+    ]
+    end_idx = defaultdict(list)    # last anchor of a variant -> (pi, o)
+    start_idx = defaultdict(list)  # first anchor of a variant -> (pi, o)
+    for pi, (fwd, rev) in enumerate(variants):
+        for o, var in ((0, fwd), (1, rev)):
+            end_idx[var[-1]].append((pi, o))
+            start_idx[var[0]].append((pi, o))
+
+    def flank_ok(keys, i, var, at_end):
+        k = min(min_flank, len(var))
+        if at_end:  # var's last k anchors must match keys[i-k+1 .. i]
+            if i - k + 1 < 0:
+                return False
+            return list(var[-k:]) == keys[i - k + 1 : i + 1]
+        if i + k > len(keys):
+            return False
+        return list(var[:k]) == keys[i : i + k]
+
+    def route_exists(anchors):
+        for (u, su), (v, sv) in zip(anchors, anchors[1:]):
+            if bb.edge_key(v, sv) not in graph[u].edges[su]:
+                return False
+        return True
+
+    supp = defaultdict(set)
+    for rid, chain in enumerate(compact_lr_list):
+        if len(chain) < 2:
+            continue
+        for orient in (False, True):
+            keys = _chain_keys(chain, orient)
+            for i in range(len(keys) - 1):
+                ends = [
+                    (pi, o) for pi, o in end_idx.get(keys[i], ())
+                    if flank_ok(keys, i, variants[pi][o], at_end=True)
+                ]
+                if not ends:
+                    continue
+                # nearest following path-start on this read
+                for j in range(i + 1, len(keys)):
+                    starts = [
+                        (pi, o) for pi, o in start_idx.get(keys[j], ())
+                        if flank_ok(keys, j, variants[pi][o], at_end=False)
+                    ]
+                    if starts:
+                        break
+                else:
+                    continue
+                route = tuple(keys[i + 1 : j])
+                if not route_exists([keys[i], *route, keys[j]]):
+                    continue
+                for pa, oa in ends:
+                    for pb, ob in starts:
+                        if pa == pb:
+                            continue
+                        b = _canon_bridge(((pa, oa), (pb, ob), route))
+                        supp[b].add(rid)
+    return supp
+
+
+def merge_bridged_paths(
+    graph, path_list, compact_lr_list, min_support: int = 2,
+    min_flank: int = 2, log=None,
+):
+    """Concatenate simple paths through read-supported repeat routes.
+
+    Bridges from :func:`find_path_bridges` with at least ``min_support``
+    reads are applied greedily (highest support first) with each path end
+    consumed at most once; chains of bridges merge transitively.  Route
+    interior nodes (the repeat copies) may appear in several merged paths
+    — that is the repeat resolution.  Singleton paths whose node became a
+    route interior are dropped.  Returns the new path list (deques, same
+    element type as the input).
+    """
+    from collections import deque
+
+    bridges = find_path_bridges(
+        graph, path_list, compact_lr_list, min_flank=min_flank
+    )
+    ranked = sorted(
+        ((len(rids), b) for b, rids in bridges.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+
+    conts = {
+        pi: {
+            "nodes": _variant(p, 0),
+            "members": [pi],
+            "left": (pi, 0),
+            "right": (pi, 0),
+        }
+        for pi, p in enumerate(path_list)
+    }
+    where = {pi: pi for pi in conts}
+    route_nodes = set()
+
+    def flip(c):
+        c["nodes"] = [(n, 1 - s) for n, s in reversed(c["nodes"])]
+        lpi, lo = c["left"]
+        rpi, ro = c["right"]
+        c["left"], c["right"] = (rpi, 1 - ro), (lpi, 1 - lo)
+
+    n_merged = 0
+    for n_supp, ((pa, oa), (pb, ob), route) in ranked:
+        if n_supp < min_support:
+            break
+        ca, cb = where.get(pa), where.get(pb)
+        if ca is None or cb is None or ca == cb:
+            continue
+        A, B = conts[ca], conts[cb]
+        if A["right"] == (pa, oa):
+            pass
+        elif A["left"] == (pa, 1 - oa):
+            flip(A)
+        else:
+            continue  # that end was already consumed
+        if B["left"] == (pb, ob):
+            pass
+        elif B["right"] == (pb, 1 - ob):
+            flip(B)
+        else:
+            continue
+        if log is not None:
+            print(
+                f"bridge path:{pa} -> path:{pb} via {list(route)} "
+                f"support:{n_supp}",
+                file=log,
+            )
+        A["nodes"] = A["nodes"] + list(route) + B["nodes"]
+        A["members"] += B["members"]
+        A["right"] = B["right"]
+        for pi in B["members"]:
+            where[pi] = ca
+        del conts[cb]
+        route_nodes.update(n for n, _s in route)
+        n_merged += 1
+
+    out = []
+    emitted = set()
+    for pi, p in enumerate(path_list):
+        ci = where[pi]
+        if ci in emitted:
+            continue
+        c = conts[ci]
+        if len(c["members"]) == 1:
+            nodes = c["nodes"]
+            if len(nodes) == 1 and nodes[0][0] in route_nodes:
+                emitted.add(ci)
+                continue  # singleton absorbed as a route interior
+            out.append(deque(p))  # untouched original
+        else:
+            out.append(deque(c["nodes"]))
+        emitted.add(ci)
+    if log is not None:
+        print(f"merged {n_merged} bridges", file=log)
+    return out

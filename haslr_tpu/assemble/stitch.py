@@ -308,10 +308,25 @@ def resolve_4way_paths(graph, path_list):
     return deleted
 
 
-def get_assembly(graph, contigs, out_dir: str, warn=None) -> int:
+def get_assembly(graph, contigs, out_dir: str, warn=None,
+                 bridge_chains=None, min_bridge_support: int = 2) -> int:
     """``asm_get_assembly`` (Assemble.cpp:1045-1077): write asm.final.fa,
-    asm.final.ann and log_asmfinal.txt.  Returns the output contig count."""
+    asm.final.ann and log_asmfinal.txt.  Returns the output contig count.
+
+    ``bridge_chains``: optional unique-anchor compact chains; when given,
+    simple paths are joined through read-supported repeat routes before
+    stitching (the wired-up Align_LR2path capability — see
+    ``repeat.merge_bridged_paths``) and the joins land in
+    ``log_repeat.txt``."""
     path_list = extract_all_simple_paths(graph)
+    if bridge_chains is not None:
+        from haslr_tpu.assemble.repeat import merge_bridged_paths
+
+        with open(f"{out_dir}/log_repeat.txt", "w") as fp_rep:
+            path_list = merge_bridged_paths(
+                graph, path_list, bridge_chains,
+                min_support=min_bridge_support, log=fp_rep,
+            )
     nb_ctg = 0
     with open(f"{out_dir}/asm.final.fa", "w") as fp_asm, open(
         f"{out_dir}/asm.final.ann", "w"

@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--edge-sup", type=int, default=3)
     p.add_argument("--long-fofn", action="store_true")
     p.add_argument("--mapping-fofn", action="store_true")
+    p.add_argument("--resolve-repeats", action="store_true")
+    p.add_argument("--bridge-sup", type=int, default=2)
     p.add_argument("--consensus-engine", default="tpu",
                    choices=["tpu", "poa"])
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
@@ -61,6 +63,8 @@ def main(argv=None):
         min_edge_sup=a.edge_sup,
         num_threads=max(1, a.threads),
         consensus_engine=a.consensus_engine,
+        resolve_repeats=a.resolve_repeats,
+        min_bridge_support=a.bridge_sup,
     )
     print(f"[NOTE] number of threads: {cfg.num_threads}\n", file=sys.stderr)
     stats = run_assembler(

@@ -52,6 +52,13 @@ class AssembleConfig:
     simple_bubble_depth: int = 4           # main.cpp:175
     super_bubble_max_dist: int = 50000     # main.cpp:185
 
+    # Repeat resolution (opt-in): join simple paths through read-supported
+    # branching routes before stitching — the wired-up capability of the
+    # reference's excluded Align_LR2path/Graph_repeat experiment
+    # (Makefile:30-31, main.cpp:11-12).
+    resolve_repeats: bool = False
+    min_bridge_support: int = 2
+
     def replace(self, **kw) -> "AssembleConfig":
         return dataclasses.replace(self, **kw)
 

@@ -106,3 +106,19 @@ def test_uniq_freq_estimate(dataset):
     uf = store.calc_uniq_freq()
     # contigs were simulated with km ~ 30 * U(0.85, 1.15)
     assert 25 < uf < 36
+
+
+def test_assembler_resolve_repeats_mode(dataset):
+    """Opt-in repeat bridging (wired Align_LR2path capability) runs end-
+    to-end and writes its log without degrading the assembly."""
+    genome, contigs, reads, (contig_path, lr_path, paf_path), out = dataset
+    cfg = AssembleConfig(consensus_engine="poa", resolve_repeats=True)
+    stats = run_assembler(
+        contig_path, lr_path, paf_path, out + "/asm_rep", cfg=cfg, log=None
+    )
+    import os
+
+    assert os.path.isfile(out + "/asm_rep/log_repeat.txt")
+    recs = list(cio.read_fastx(stats["assembly"]))
+    total = sum(len(r.seq) for r in recs)
+    assert total > 0.9 * len(genome)

@@ -98,3 +98,88 @@ def test_overlap_graph_reverse_orientation():
     g = repeat.build_overlap_graph([fwd, rc])
     n_edges = sum(len(n.out) + len(n.out_rev) for n in g)
     assert n_edges >= 2  # edge + twin
+
+
+def _mk_graph(edges, n_nodes):
+    from haslr_tpu.assemble import backbone as bb
+
+    g = [bb.BBGNode(contig_id=i) for i in range(n_nodes)]
+    for (n1, r1, n2, r2) in edges:
+        bb.add_edge_with_supp(
+            g, n1, r1, n2, r2, [bb.EdgeSupp(0, 0, 0, 1)]
+        )
+    return g
+
+
+def test_merge_bridged_paths_through_repeat_node():
+    """Reads traversing path A -> repeat node -> path B merge the two
+    simple paths through the route; the repeat singleton is absorbed."""
+    from haslr_tpu.assemble import stitch
+    from haslr_tpu.assemble.repeat import merge_bridged_paths
+
+    # 0->1->2->3->4 plus 5->2->6: node 2 is a branch-both-sides repeat
+    g = _mk_graph(
+        [(0, 0, 1, 0), (1, 0, 2, 0), (2, 0, 3, 0), (3, 0, 4, 0),
+         (5, 0, 2, 0), (2, 0, 6, 0)],
+        7,
+    )
+    paths = stitch.extract_all_simple_paths(g)
+    as_lists = sorted(tuple(p) for p in paths)
+    assert ((0, 0), (1, 0)) in as_lists
+    assert ((3, 0), (4, 0)) in as_lists
+    assert ((2, 0),) in as_lists
+
+    chains = [chain((0, 0), (1, 0), (2, 0), (3, 0), (4, 0))
+              for _ in range(3)]
+    merged = merge_bridged_paths(g, paths, chains, min_support=2)
+    tups = sorted(tuple(p) for p in merged)
+    assert ((0, 0), (1, 0), (2, 0), (3, 0), (4, 0)) in tups
+    # the repeat singleton was absorbed into the route
+    assert ((2, 0),) not in tups
+    # unrelated singletons survive
+    assert ((5, 0),) in tups or ((5, 1),) in tups
+    assert ((6, 0),) in tups or ((6, 1),) in tups
+
+
+def test_merge_bridged_paths_respects_support_and_orientation():
+    from haslr_tpu.assemble import stitch
+    from haslr_tpu.assemble.repeat import merge_bridged_paths
+
+    g = _mk_graph(
+        [(0, 0, 1, 0), (1, 0, 2, 0), (2, 0, 3, 0), (3, 0, 4, 0),
+         (5, 0, 2, 0), (2, 0, 6, 0)],
+        7,
+    )
+    paths = stitch.extract_all_simple_paths(g)
+    # one read is below min_support: no merge happens
+    chains = [chain((0, 0), (1, 0), (2, 0), (3, 0), (4, 0))]
+    merged = merge_bridged_paths(g, paths, chains, min_support=2)
+    assert sorted(tuple(p) for p in merged) == sorted(
+        tuple(p) for p in paths
+    )
+    # reverse-complement reads support the same canonical bridge
+    chains = [chain((4, 1), (3, 1), (2, 1), (1, 1), (0, 1))
+              for _ in range(2)]
+    merged = merge_bridged_paths(g, paths, chains, min_support=2)
+    tups = [tuple(p) for p in merged]
+    assert (
+        ((0, 0), (1, 0), (2, 0), (3, 0), (4, 0)) in tups
+        or ((4, 1), (3, 1), (2, 1), (1, 1), (0, 1)) in tups
+    )
+
+
+def test_merge_bridged_paths_rejects_missing_route_edge():
+    from haslr_tpu.assemble import stitch
+    from haslr_tpu.assemble.repeat import merge_bridged_paths
+
+    # no 2->3 edge: the claimed route does not exist in the graph
+    g = _mk_graph(
+        [(0, 0, 1, 0), (1, 0, 2, 0), (3, 0, 4, 0), (5, 0, 2, 0),
+         (2, 0, 6, 0)],
+        7,
+    )
+    paths = stitch.extract_all_simple_paths(g)
+    chains = [chain((0, 0), (1, 0), (2, 0), (3, 0), (4, 0))
+              for _ in range(3)]
+    merged = merge_bridged_paths(g, paths, chains, min_support=2)
+    assert sorted(len(p) for p in merged) == sorted(len(p) for p in paths)
