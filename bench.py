@@ -103,6 +103,31 @@ def check_pallas_vs_scan():
     return bool(np.array_equal(m_pallas, m_scan))
 
 
+def bench_kmer_rate(n_reads=64_000, n_batches=5):
+    """Steady-state device k-mer counting rate (Mbases/s) through the
+    streaming prefix-partitioned counter (the minia replacement,
+    bin/haslr.py:180) on a synthetic 48 Mbp short-read stream."""
+    from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
+
+    rng = np.random.default_rng(5)
+    read_len = 150
+
+    def batch():
+        return [
+            r for r in rng.integers(0, 4, (n_reads, read_len), dtype=np.uint8)
+        ]
+
+    warm = batch()[: max(16, n_reads // 16)]
+    count_kmers_streaming(iter(warm), 49, 2)  # compile all chunk shapes
+    reads = [batch() for _ in range(n_batches)]
+    total = sum(len(b) * read_len for b in reads)
+    t0 = time.time()
+    for b in reads:
+        count_kmers_streaming(iter(b), 49, 2)
+    dt = time.time() - t0
+    return total / dt / 1e6
+
+
 def main():
     from haslr_tpu.kernels.consensus import batched_consensus
 
@@ -130,7 +155,14 @@ def main():
     poa_dt = time.time() - t0
     poa_rate = BASELINE_SUBSET / poa_dt
 
-    match = check_pallas_vs_scan()
+    try:
+        match = check_pallas_vs_scan()
+    except Exception:
+        match = "error"
+    try:
+        kmer_rate = round(bench_kmer_rate(), 1)
+    except Exception:
+        kmer_rate = "error"
 
     print(
         json.dumps(
@@ -142,6 +174,7 @@ def main():
                 "baseline": "native C++ POA (SPOA semantics), 1 CPU core",
                 "baseline_windows_per_s": round(poa_rate, 2),
                 "pallas_scan_match": match,
+                "kmer_count_mbases_per_s": kmer_rate,
             }
         )
     )

@@ -94,6 +94,12 @@ def main():
     ap.add_argument("--out", default="/tmp/haslr_bench_out")
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 1)
     ap.add_argument("--keep-out", action="store_true")
+    # the other BASELINE.json configs: S. cerevisiae/D. melanogaster are
+    # nanopore (-x nanopore), C. elegans runs --minia-asm unitigs
+    ap.add_argument("--read-type", default="pacbio",
+                    choices=["pacbio", "nanopore", "corrected"])
+    ap.add_argument("--minia-asm", default="contigs",
+                    choices=["contigs", "unitigs"])
     a = ap.parse_args()
 
     data_dir = f"{a.data}/{a.scale}"
@@ -108,8 +114,8 @@ def main():
 
     t0 = time.time()
     rc = cli_main([
-        "-o", a.out, "-g", str(a.scale), "-l", lr_path, "-x", "pacbio",
-        "-s", sr_path, "-t", str(a.threads),
+        "-o", a.out, "-g", str(a.scale), "-l", lr_path, "-x", a.read_type,
+        "-s", sr_path, "-t", str(a.threads), "--minia-asm", a.minia_asm,
     ])
     wall = time.time() - t0
     assert rc == 0, f"pipeline failed rc={rc}"
@@ -135,6 +141,8 @@ def main():
         "value": round(wall, 1),
         "unit": "s",
         "scale_bp": a.scale,
+        "read_type": a.read_type,
+        "minia_asm": a.minia_asm,
         "platform": jax.devices()[0].platform,
         "n_contigs": len(recs),
         "total_bp": int(sum(lens)),
