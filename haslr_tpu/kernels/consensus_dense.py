@@ -403,6 +403,7 @@ def dense_consensus(
         )
 
     n_dev = 1 if mesh is None else int(mesh.devices.size)
+    pending = []
     for S, wins in sorted(groups.items()):
         W = _band_width(S)
         # split oversized groups only when the XLA scan fallback would
@@ -428,15 +429,37 @@ def dense_consensus(
                 acc = 0
             sub[-1].append(wi)
             acc += cnt
-        for win_list in sub:
-            _run_group(window_codes, drafts0, results, win_list, S, W,
-                       match, mismatch, gap, rounds, warn, mesh)
+        # dispatch every group before materializing any result: jax
+        # execution is async, so later groups' H2D transfers and compute
+        # overlap earlier groups' execution instead of paying the relay
+        # round-trip serially per group
+        pending.extend(
+            _dispatch_group(window_codes, drafts0, win_list, S, W,
+                            match, mismatch, gap, rounds, mesh)
+            for win_list in sub
+        )
+    for p in pending:
+        _collect_group(p, results, warn)
     return [r if r is not None else np.zeros(0, np.uint8) for r in results]
 
 
-def _run_group(window_codes, drafts0, results, win_list, S, W, match,
-               mismatch, gap, rounds, warn, mesh=None):
-    """Pack one bucket group, run the device rounds, unpack results."""
+# host-side wall-clock accounting of the last dense_consensus call,
+# keyed by phase (pack / device / unpack); read by scripts and bench
+# diagnostics, reset with PROF.clear()
+PROF: dict[str, float] = {}
+
+
+def _prof(key, dt):
+    PROF[key] = PROF.get(key, 0.0) + dt
+
+
+def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
+                    mismatch, gap, rounds, mesh=None):
+    """Pack one bucket group and dispatch its device rounds WITHOUT
+    blocking; returns a pending handle for :func:`_collect_group`."""
+    import time as _time
+
+    _t0 = _time.time()
     flat_parts: list[np.ndarray] = []
     flat_len = 0
     read_off: list[int] = []
@@ -492,13 +515,13 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
     do[: len(win_list)] = draft_off
     dl[: len(win_list)] = d_lens0
 
+    _prof("pack", _time.time() - _t0)
+    _t0 = _time.time()
     if mesh is None:
         meta = np.concatenate([ro, rl, wx, do, dl]).astype(np.int32)
-        out = np.asarray(
-            _dense_rounds(
-                jnp.asarray(flat), jnp.asarray(meta),
-                N, S, W, rounds, match, mismatch, gap,
-            )
+        out = _dense_rounds(
+            jnp.asarray(flat), jnp.asarray(meta),
+            N, S, W, rounds, match, mismatch, gap,
         )
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -509,13 +532,26 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
         fn = _make_sharded_rounds(
             mesh, N, S, W, rounds, match, mismatch, gap, use_pallas
         )
-        out = np.asarray(
-            fn(
-                jax.device_put(flat, NamedSharding(mesh, P())),
-                jax.device_put(rmeta, NamedSharding(mesh, P(None, "dp"))),
-                jax.device_put(dmeta, NamedSharding(mesh, P())),
-            )
+        out = fn(
+            jax.device_put(flat, NamedSharding(mesh, P())),
+            jax.device_put(rmeta, NamedSharding(mesh, P(None, "dp"))),
+            jax.device_put(dmeta, NamedSharding(mesh, P())),
         )
+    _prof(f"dispatch_S{S}_B{B}", _time.time() - _t0)
+    return (out, win_list, S, B, n_skipped_long)
+
+
+def _collect_group(pending, results, warn):
+    """Materialize one dispatched group and unpack its windows."""
+    import time as _time
+
+    out_dev, win_list, S, B, n_skipped_long = pending
+    _t0 = _time.time()
+    out = np.asarray(out_dev)
+    _prof(f"device_S{S}_B{B}", _time.time() - _t0)
+    _t0 = _time.time()
+    # layout: N*(S/4) packed draft bytes + 3 int32 tail rows per window
+    N = len(out) // (S // 4 + 12)
     packed = out[: N * (S // 4)].reshape(N, S // 4)
     tail = out[N * (S // 4) :].view(np.int32).reshape(3, N)
     d_lens, overflow, dropped = tail[0], tail[1], tail[2]
@@ -535,3 +571,4 @@ def _run_group(window_codes, drafts0, results, win_list, S, W, match,
         )
     for li, wi in enumerate(win_list):
         results[wi] = _unpack_host(packed[li], int(d_lens[li]))
+    _prof("unpack", _time.time() - _t0)
