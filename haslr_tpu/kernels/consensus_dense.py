@@ -149,6 +149,125 @@ def _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S):
     return counts, cov_diff, ins1, ins2, n_reads
 
 
+INVALID_KEY = np.int32(2**31 - 1)
+
+
+def _scatter_votes_sorted(mapping, reads, r_lens, win_idx, ok, N, S):
+    """Same tables as :func:`_scatter_votes`, built sort-first.
+
+    XLA's TPU scatter-add with duplicate unsorted indices serializes; the
+    base/insertion votes here are 3 such scatters of B*S elements each.
+    Instead every cell is encoded as ONE combined int32 key
+    (base votes: ``(win*S + pos)*4 + base``; insertion votes:
+    ``4*N*S + ((win*(S+1) + q)*2 + rank)*4 + base``; everything else:
+    INVALID), the keys are sorted once, runs are length-counted by
+    position difference, and the per-run totals land in the dense tables
+    through scatters whose indices are ASCENDING (``indices_are_sorted``)
+    — the same sort→RLE→sorted-scatter shape the k-mer counter uses.
+    The small coverage/read-count scatters (O(B)) stay direct."""
+    B = mapping.shape[0]
+    Sr = mapping.shape[1]
+    col = jnp.arange(Sr, dtype=jnp.int32)[None, :]
+    in_len = col < r_lens[:, None]
+    m = mapping.astype(jnp.int32)
+    aligned = (m >= 0) & in_len & ok[:, None]
+    rbase = reads.astype(jnp.int32) & 3
+    assert 12 * N * (S + 1) < 2**31 - 2, "combined vote key overflows int32"
+
+    # --- per-cell combined key ------------------------------------------
+    win = win_idx[:, None]
+    key_cnt = (win * S + jnp.clip(m, 0, S - 1)) * 4 + rbase
+
+    ins = (m <= -2) & in_len & ok[:, None]
+    anchors = -m - 3
+    prev_ins = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ins[:, :-1]], axis=1
+    )
+    prev_anchor = jnp.concatenate(
+        [jnp.full((B, 1), -9, jnp.int32), anchors[:, :-1]], axis=1
+    )
+    start = ins & (~prev_ins | (anchors != prev_anchor))
+    idx = jnp.broadcast_to(col, (B, Sr))
+    last_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(start, idx, -1), axis=1
+    )
+    rank = idx - last_start
+
+    any_aligned = aligned.any(axis=1)
+    row_ok = any_aligned[:, None]
+    ins_sel = ins & (rank <= 1) & row_ok
+    q = jnp.clip(anchors + 1, 0, S)
+    key_ins = (
+        4 * N * S + ((win * (S + 1) + q) * 2 + rank) * 4 + rbase
+    )
+    key = jnp.where(
+        aligned, key_cnt, jnp.where(ins_sel, key_ins, INVALID_KEY)
+    )
+
+    # --- sort + run-length count ----------------------------------------
+    M = B * Sr
+    ks = jnp.sort(key.reshape(-1))
+    validk = ks != INVALID_KEY
+    n_valid = jnp.sum(validk.astype(jnp.int32))
+    new = jnp.concatenate(
+        [jnp.ones(1, bool), ks[1:] != ks[:-1]]
+    ) & validk
+    starts = jnp.nonzero(new, size=M, fill_value=M)[0]
+    n_runs = jnp.sum(new.astype(jnp.int32))
+    live = jnp.arange(M, dtype=jnp.int32) < n_runs
+    next_start = jnp.concatenate(
+        [starts[1:], jnp.full(1, M, starts.dtype)]
+    )
+    next_start = jnp.minimum(next_start.astype(jnp.int32), n_valid)
+    run_cnt = jnp.where(
+        live, next_start - starts.astype(jnp.int32), 0
+    )
+    run_key = ks[jnp.minimum(starts, M - 1)]
+
+    # --- place runs into the dense tables (ascending indices) -----------
+    split = 4 * N * S
+    is_cnt = live & (run_key < split)
+    counts = (
+        jnp.zeros(N * S * 4, jnp.int32)
+        .at[jnp.where(is_cnt, run_key, np.int32(2**31 - 2))]
+        .add(run_cnt, mode="drop", indices_are_sorted=True)
+        .reshape(N * S, 4)
+    )
+    rel = run_key - split
+    is_ins = live & (run_key >= split) & (run_key != INVALID_KEY)
+    i_cell = (rel >> 3) * 4 + (rel & 3)
+    r1 = is_ins & (((rel >> 2) & 1) == 0)
+    r2 = is_ins & (((rel >> 2) & 1) == 1)
+    ins1 = (
+        jnp.zeros(N * (S + 1) * 4, jnp.int32)
+        .at[jnp.where(r1, i_cell, np.int32(2**31 - 2))]
+        .add(run_cnt, mode="drop", indices_are_sorted=True)
+        .reshape(N * (S + 1), 4)
+    )
+    ins2 = (
+        jnp.zeros(N * (S + 1) * 4, jnp.int32)
+        .at[jnp.where(r2, i_cell, np.int32(2**31 - 2))]
+        .add(run_cnt, mode="drop", indices_are_sorted=True)
+        .reshape(N * (S + 1), 4)
+    )
+
+    # --- coverage span + read-count scatters (O(B), unchanged) ----------
+    woff1 = jnp.where(ok, win_idx * (S + 1), DUMP)
+    cov_diff = jnp.zeros(N * (S + 1) + 1, jnp.int32)
+    big = jnp.where(aligned, m, jnp.int32(1 << 29))
+    small = jnp.where(aligned, m, jnp.int32(-1))
+    jmin = big.min(axis=1)
+    jmax = small.max(axis=1)
+    start_t = jnp.where(any_aligned, woff1 + jmin, DUMP)
+    end_t = jnp.where(any_aligned, woff1 + jmax + 1, DUMP)
+    cov_diff = cov_diff.at[start_t].add(1, mode="drop")
+    cov_diff = cov_diff.at[end_t].add(-1, mode="drop")
+    n_reads = jnp.zeros(N, jnp.int32).at[
+        jnp.where(any_aligned, win_idx, DUMP)
+    ].add(1, mode="drop")
+    return counts, cov_diff, ins1, ins2, n_reads
+
+
 def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
                   N, S):
     """Dense majority vote + on-device draft compaction.
@@ -234,7 +353,7 @@ def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
 
 def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
                  N, S, W, rounds, match, mismatch, gap, use_pallas,
-                 axis=None):
+                 axis=None, vote_impl="scatter"):
     """The multi-round consensus body (device side).
 
     ``axis``: optional mesh axis name.  When set, the READ batch is the
@@ -268,7 +387,10 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
             reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
             use_pallas,
         )
-        tables = _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S)
+        scatter_fn = (
+            _scatter_votes_sorted if vote_impl == "sort" else _scatter_votes
+        )
+        tables = scatter_fn(mapping, reads, r_lens, win_idx, ok, N, S)
         if axis is not None:
             tables = jax.lax.psum(tables, axis)
         drafts, d_lens, total_keep = _vote_compact(
@@ -293,10 +415,17 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
     return jnp.concatenate([packed.reshape(-1), tail])
 
 
+# which vote-table builder production uses: "scatter" (direct scatter-
+# adds) or "sort" (sort+RLE+ascending scatters); both produce identical
+# tables (tested) — the default is whichever measured faster on the chip
+VOTE_IMPL = "scatter"
+
+
 @functools.partial(
-    jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8)
+    jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9)
 )
-def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
+def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap,
+                  vote_impl="scatter"):
     """Single-device entry: the whole multi-round consensus for one
     bucket, on device.
 
@@ -309,12 +438,13 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap):
         flat, meta[:B], meta[B : 2 * B], meta[2 * B : 3 * B],
         meta[3 * B : 3 * B + N], meta[3 * B + N :],
         N, S, W, rounds, match, mismatch, gap, use_pallas,
+        vote_impl=vote_impl,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _make_sharded_rounds(mesh, N, S, W, rounds, match, mismatch, gap,
-                         use_pallas):
+                         use_pallas, vote_impl="scatter"):
     """Jitted shard_map of the round body over the mesh's ``dp`` axis:
     reads data-parallel, flat code array + draft meta replicated, vote
     tables psum-merged, output replicated (identical on every device)."""
@@ -324,6 +454,7 @@ def _make_sharded_rounds(mesh, N, S, W, rounds, match, mismatch, gap,
         return _rounds_impl(
             flat, rmeta[0], rmeta[1], rmeta[2], dmeta[0], dmeta[1],
             N, S, W, rounds, match, mismatch, gap, use_pallas, axis="dp",
+            vote_impl=vote_impl,
         )
 
     # check_vma=False: the NW scan's carry mixes unvarying init values
@@ -521,7 +652,7 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
         meta = np.concatenate([ro, rl, wx, do, dl]).astype(np.int32)
         out = _dense_rounds(
             jnp.asarray(flat), jnp.asarray(meta),
-            N, S, W, rounds, match, mismatch, gap,
+            N, S, W, rounds, match, mismatch, gap, VOTE_IMPL,
         )
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -530,7 +661,8 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
         dmeta = np.stack([do, dl]).astype(np.int32)
         use_pallas = nw.use_pallas_for(B // n_dev, S, S, W)
         fn = _make_sharded_rounds(
-            mesh, N, S, W, rounds, match, mismatch, gap, use_pallas
+            mesh, N, S, W, rounds, match, mismatch, gap, use_pallas,
+            VOTE_IMPL,
         )
         out = fn(
             jax.device_put(flat, NamedSharding(mesh, P())),

@@ -247,3 +247,82 @@ def test_batched_consensus_mixed_lengths():
         outs_expected.append(true)
     outs = batched_consensus(windows)
     assert outs == outs_expected
+
+
+def test_sorted_vote_tables_match_scatter():
+    """The sort+RLE vote builder must produce bit-identical tables to the
+    direct scatter builder for every table (counts/cov/ins1/ins2/n_reads),
+    and the full dense engine must emit identical consensus either way."""
+    import numpy as np
+
+    from haslr_tpu.core import seq as cseq
+    from haslr_tpu.kernels import consensus_dense as cd
+    from haslr_tpu.kernels import nw
+
+    rng = np.random.default_rng(3)
+    N, S, W = 8, 256, 128
+    B = 64
+    # synthesize realistic mappings by aligning mutated reads to drafts
+    drafts = rng.integers(0, 4, (N, S)).astype(np.uint8)
+    d_lens = rng.integers(120, 250, N).astype(np.int32)
+    reads = np.zeros((B, S), np.uint8)
+    r_lens = np.zeros(B, np.int32)
+    win_idx = rng.integers(0, N, B).astype(np.int32)
+    for b in range(B):
+        w = win_idx[b]
+        src = list(drafts[w, : d_lens[w]])
+        out = []
+        for c in src:
+            r = rng.random()
+            if r < 0.03:
+                continue
+            out.append(int(rng.integers(0, 4)) if r < 0.06 else int(c))
+            if r > 0.97:
+                out.append(int(rng.integers(0, 4)))
+                if r > 0.99:
+                    out.append(int(rng.integers(0, 4)))
+        out = out[:S]
+        reads[b, : len(out)] = out
+        r_lens[b] = len(out)
+    ok = (r_lens > 0) & (np.abs(r_lens - d_lens[win_idx]) < W // 2 - 4)
+
+    import jax.numpy as jnp
+
+    mapping = nw._align_mapping_inner(
+        jnp.asarray(reads), jnp.asarray(r_lens),
+        jnp.asarray(drafts[win_idx]), jnp.asarray(d_lens[win_idx]),
+        S, S, W, 5, -4, -8, False,
+    )
+    a = cd._scatter_votes(
+        mapping, jnp.asarray(reads), jnp.asarray(r_lens),
+        jnp.asarray(win_idx), jnp.asarray(ok), N, S,
+    )
+    b = cd._scatter_votes_sorted(
+        mapping, jnp.asarray(reads), jnp.asarray(r_lens),
+        jnp.asarray(win_idx), jnp.asarray(ok), N, S,
+    )
+    names = ["counts", "cov_diff", "ins1", "ins2", "n_reads"]
+    for name, x, y in zip(names, a, b):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=name
+        )
+
+    # end-to-end dense engine equality across implementations
+    windows = []
+    bases = "ACGT"
+    for _ in range(17):
+        L = int(rng.integers(60, 500))
+        t = "".join(bases[i] for i in rng.integers(0, 4, L))
+        windows.append(
+            [cseq.encode(t[: max(1, L - int(rng.integers(0, 9)))])
+             for _ in range(7)]
+        )
+    old = cd.VOTE_IMPL
+    try:
+        cd.VOTE_IMPL = "scatter"
+        r1 = cd.dense_consensus([list(w) for w in windows])
+        cd.VOTE_IMPL = "sort"
+        r2 = cd.dense_consensus([list(w) for w in windows])
+    finally:
+        cd.VOTE_IMPL = old
+    assert all(np.array_equal(x, y) for x, y in zip(r1, r2))
