@@ -40,93 +40,80 @@ DIAG, UP, LEFT = 0, 1, 2
 GROUP = 32  # reads per grid program (int8 sublane tile: 32)
 
 
-def _shift_right1(x, new_col):
-    """y[:, k] = x[:, k-1], y[:, 0] = new_col (lane shift toward higher k)."""
-    W = x.shape[1]
-    rolled = pltpu.roll(x, 1, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane == 0, new_col, rolled)
+def _rev_pad_inputs(reads, drafts, W):
+    """Device-side prep for the slice-window DP: reads reversed along the
+    base axis and padded to R + 2W, drafts padded to D + 2W (int32 lanes —
+    int8/int16 inputs hit Mosaic tiling limits)."""
+    pad = ((0, 0), (0, 2 * W))
+    rrev = jnp.pad(
+        jnp.flip(reads.astype(jnp.int32), axis=1), pad, constant_values=4
+    )
+    dpad = jnp.pad(drafts.astype(jnp.int32), pad, constant_values=4)
+    return rrev, dpad
 
 
-def _shift_left1(x, new_col):
-    """y[:, k] = x[:, k+1], y[:, W-1] = new_col."""
-    W = x.shape[1]
-    rolled = pltpu.roll(x, W - 1, axis=1)  # == roll by -1
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane == W - 1, new_col, rolled)
-
-
-def _lane_shift(h, off, fill):
-    """y[:, k] = h[:, k + off] for off in {-1, 0, 1, 2}; out-of-range lanes
-    get ``fill``.  ``off`` is a traced scalar: all variants are computed and
-    selected (cheap VPU rolls)."""
-    W = h.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-    outs = []
-    for o in (-1, 0, 1, 2):
-        r = pltpu.roll(h, (W - o) % W, axis=1)  # == roll by -o
-        if o > 0:
-            r = jnp.where(lane >= W - o, fill, r)
-        elif o < 0:
-            r = jnp.where(lane < -o, fill, r)
-        outs.append(r)
-    res = outs[1]
-    res = jnp.where(off == -1, outs[0], res)
-    res = jnp.where(off == 1, outs[2], res)
-    res = jnp.where(off == 2, outs[3], res)
-    return res
-
-
-def _dp_phase(base_ref, reads_ref, drafts_ref, rl, dl, dirs_ref, t_hi,
+def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
               *, R, D, W, match, mismatch, gap):
     """Run the banded DP up to anti-diagonal ``t_hi`` (inclusive), writing
-    direction rows to ``dirs_ref`` (HBM output block or VMEM scratch)."""
+    direction rows to ``dirs_ref`` (HBM output block or VMEM scratch).
+
+    ``rrev_ref``: the reads REVERSED along the base axis and padded to
+    ``R + 2W`` (``rrev[p] = reads[R-1-p]``); ``dpad_ref``: drafts padded to
+    ``D + 2W``.  With the band base moving by {0, 1} per step, the read and
+    draft bases under the band are *contiguous slices* of these arrays
+    (reads descend along the band, hence the reversal) — each step fetches
+    its whole (GROUP, W) base window with one 128-aligned wide load plus
+    one dynamic lane roll, instead of maintaining incrementally-shifted
+    window carries.  Lanes whose slice index falls outside the real
+    sequence read padding/garbage; every such lane is an invalid DP cell
+    (``i``/``j`` out of range) and is masked to NEG regardless.
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
+    WIDE = 2 * W
 
     # Loop-carry inits must carry the natural {0,0} vector layout of the
     # loop-body outputs; constant (or constant-folded) inits get replicated
     # layouts and Mosaic cannot relayout non-replicated -> replicated at
     # the loop back-edge.  min(codes, 0) == 0 for 2-bit code data but is
     # not foldable, pinning each init to a distinct data-dependent value.
-    anchor_r = jnp.minimum(reads_ref[:, 0:W], 0)
-    anchor_d = jnp.minimum(drafts_ref[:, 0:W], 0)
+    anchor_r = jnp.minimum(rrev_ref[:, 0:W], 0)
+    anchor_d = jnp.minimum(dpad_ref[:, 0:W], 0)
     h_init = jnp.full((GROUP, W), NEG, jnp.int32) + anchor_r
     h0 = jnp.where(lane == 0, 0, h_init) + anchor_d
-    # draft window at t=0: db[k] = drafts[k-1] (k=0 lane holds pad)
-    d_first = drafts_ref[:, 0:W]
-    db0 = _shift_right1(
-        d_first, jnp.full((GROUP, W), 4, jnp.int32) + anchor_r
-    )
-    rb0 = jnp.full((GROUP, W), 4, jnp.int32) + anchor_d
     dirs_ref[0] = jnp.zeros((GROUP, W), jnp.uint8)
 
-    def read_col(ref, idx, size):
-        """One (GROUP, 1) column at dynamic index: Mosaic requires lane-dim
-        dynamic slices to be 128-aligned, so load the aligned 128-chunk and
-        mask-reduce the wanted lane."""
-        aligned = pl.multiple_of((idx // 128) * 128, 128)
-        chunk = ref[:, pl.ds(aligned, 128)]
-        off = idx - aligned
-        sel = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1) == off
-        return jnp.sum(jnp.where(sel, chunk, 0), axis=1, keepdims=True)
+    def window(ref, o, size):
+        """(GROUP, W) with out[:, k] = ref[:, o + k] wherever o + k lands in
+        [aligned, aligned + 2W) — true for every lane belonging to a valid
+        DP cell; other lanes hold wrapped garbage."""
+        aligned = jnp.clip((o // 128) * 128, 0, (size // 128) * 128)
+        aligned = pl.multiple_of(aligned, 128)
+        wide = ref[:, pl.ds(aligned, WIDE)]
+        shift = jnp.mod(aligned - o, WIDE)
+        return pltpu.roll(wide, shift, axis=1)[:, :W]
 
     def step(t, carry):
-        h_prev2, h_prev1, rb, db = carry
+        h_prev2, h_prev1 = carry
         b_t = base_ref[t]
         s1 = b_t - base_ref[t - 1]
         s2 = b_t - base_ref[t - 2]
-        # advance sliding base windows
-        ri = jnp.clip(t - b_t - 1, 0, R - 1)
-        new_r = read_col(reads_ref, ri, R)
-        dj = jnp.clip(b_t + W - 2, 0, D - 1)
-        new_d = read_col(drafts_ref, dj, D)
-        adv_read = s1 == 0
-        rb = jnp.where(adv_read, _shift_right1(rb, new_r), rb)
-        db = jnp.where(adv_read, db, _shift_left1(db, new_d))
-        # neighbors
-        up = _lane_shift(h_prev1, s1, NEG)
-        left = _lane_shift(h_prev1, s1 - 1, NEG)
-        diag = _lane_shift(h_prev2, s2 - 1, NEG)
+        # base windows: rb[k] = reads[i-1] = rrev[R - t + b_t + k],
+        # db[k] = drafts[j-1] = drafts[b_t - 1 + k]
+        rb = window(rrev_ref, R - t + b_t, R)
+        db = window(dpad_ref, b_t - 1, D)
+        # neighbors: up = h1[k+s1], left = h1[k+s1-1], diag = h2[k+s2-1]
+        # with s1 in {0,1} and s2 in {0,1,2} — one roll each way per row
+        h1r = jnp.where(
+            lane == W - 1, NEG, pltpu.roll(h_prev1, W - 1, axis=1)
+        )
+        h1l = jnp.where(lane == 0, NEG, pltpu.roll(h_prev1, 1, axis=1))
+        up = jnp.where(s1 == 1, h1r, h_prev1)
+        left = jnp.where(s1 == 1, h_prev1, h1l)
+        h2r = jnp.where(
+            lane == W - 1, NEG, pltpu.roll(h_prev2, W - 1, axis=1)
+        )
+        h2l = jnp.where(lane == 0, NEG, pltpu.roll(h_prev2, 1, axis=1))
+        diag = jnp.where(s2 == 2, h2r, jnp.where(s2 == 0, h2l, h_prev2))
         sub = jnp.where(rb == db, match, mismatch)
         j = b_t + lane
         i = t - j
@@ -144,20 +131,19 @@ def _dp_phase(base_ref, reads_ref, drafts_ref, rl, dl, dirs_ref, t_hi,
         valid = (i >= 0) & (i <= rl) & (j >= 0) & (j <= dl)
         h = jnp.where(valid, h, NEG)
         dirs_ref[t] = d.astype(jnp.uint8)
-        return h_prev1, h, rb, db
+        return h_prev1, h
 
-    jax.lax.fori_loop(1, t_hi + 1, step, (h_init, h0, rb0, db0),
-                      unroll=False)
+    jax.lax.fori_loop(1, t_hi + 1, step, (h_init, h0), unroll=False)
 
 
-def _kernel(base_ref, reads_ref, drafts_ref, rlen_ref, dlen_ref, dirs_ref,
+def _kernel(base_ref, rrev_ref, dpad_ref, rlen_ref, dlen_ref, dirs_ref,
             *, R, D, W, match, mismatch, gap):
-    _dp_phase(base_ref, reads_ref, drafts_ref, rlen_ref[:], dlen_ref[:],
+    _dp_phase(base_ref, rrev_ref, dpad_ref, rlen_ref[:], dlen_ref[:],
               dirs_ref, R + D, R=R, D=D, W=W, match=match,
               mismatch=mismatch, gap=gap)
 
 
-def _fused_kernel(base_ref, tmax_ref, reads_ref, drafts_ref, rlen_ref,
+def _fused_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
                   dlen_ref, map_ref, dirs_vmem, *, R, D, W, match, mismatch,
                   gap):
     """DP into VMEM scratch, then wavefront traceback → (GROUP, R) mapping.
@@ -171,14 +157,14 @@ def _fused_kernel(base_ref, tmax_ref, reads_ref, drafts_ref, rlen_ref,
     rl = rlen_ref[:]  # (GROUP, 1) int32
     dl = dlen_ref[:]
     t_max = tmax_ref[pl.program_id(0)]
-    _dp_phase(base_ref, reads_ref, drafts_ref, rl, dl, dirs_vmem, t_max,
+    _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_vmem, t_max,
               R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap)
 
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
     col_r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, R), 1)
     # data-dependent init (see layout note in _dp_phase)
     mapping0 = jnp.full((GROUP, R), -1, jnp.int32) + jnp.minimum(
-        reads_ref[:, 0:R], 0
+        rrev_ref[:, 0:R], 0
     )
 
     def tb_step(k, carry):
@@ -225,14 +211,15 @@ def nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
     kernel = functools.partial(
         _kernel, R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap
     )
+    rrev, dpad = _rev_pad_inputs(reads, drafts, W)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((GROUP, R), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, D), lambda i, *_: (i, 0)),
+                pl.BlockSpec((GROUP, R + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((GROUP, D + 2 * W), lambda i, *_: (i, 0)),
                 pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
                 pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
             ],
@@ -244,8 +231,8 @@ def nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
         interpret=interpret,
     )(
         base,
-        reads.astype(jnp.int32),   # int32 lanes avoid int8 tiling limits
-        drafts.astype(jnp.int32),
+        rrev,
+        dpad,
         r_lens.astype(jnp.int32).reshape(B, 1),
         d_lens.astype(jnp.int32).reshape(B, 1),
     )
@@ -270,14 +257,15 @@ def nw_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
         _fused_kernel, R=R, D=D, W=W, match=match, mismatch=mismatch,
         gap=gap,
     )
+    rrev, dpad = _rev_pad_inputs(reads, drafts, W)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B // GROUP,),
             in_specs=[
-                pl.BlockSpec((GROUP, R), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, D), lambda i, *_: (i, 0)),
+                pl.BlockSpec((GROUP, R + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((GROUP, D + 2 * W), lambda i, *_: (i, 0)),
                 pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
                 pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
             ],
@@ -291,8 +279,8 @@ def nw_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
     )(
         base,
         group_tmax,
-        reads.astype(jnp.int32),
-        drafts.astype(jnp.int32),
+        rrev,
+        dpad,
         rl.reshape(B, 1),
         dl.reshape(B, 1),
     )
