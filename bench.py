@@ -1,35 +1,50 @@
 """Benchmark: consensus windows/s/chip (the BASELINE.json headline metric).
 
-Measures the dense device-resident consensus engine (banded-NW align +
-pileup vote, 2 polish rounds fully on device — the replacement for the
-reference's per-window SPOA loop, Assemble.cpp:479-605) on a fixed
-synthetic workload: 1024 windows x 13 supporting subsequences x ~300 bp at
-6% error — the shape of an E. coli-scale backbone's edge set batched the
-way the production pipeline batches it.
+Measures the device-resident consensus engine (banded-NW align + pileup
+vote, 2 polish rounds on device — the replacement for the reference's
+per-window SPOA loop, Assemble.cpp:479-605) on a fixed synthetic
+workload: 1024 windows x 13 supporting subsequences x ~300 bp at 6%
+error — the shape of an E. coli-scale backbone's edge set batched the way
+the production pipeline batches it.
 
 ``vs_baseline`` is the speedup over the NATIVE C++ POA engine
 (haslr_tpu/native/poa.cpp — SPOA semantics: global alignment 5/-4/-8,
 align+add per read, heaviest-bundle consensus; the stand-in for the SSE
-SPOA library the reference links) on ONE CPU core, rate-extrapolated from
-a subset.  The reference publishes no per-window number (BASELINE.json
-``published`` is empty).
+SPOA library the reference links) on ONE CPU core.  The baseline rate is
+measured on a BASELINE_SUBSET-window subset and extrapolated linearly
+(windows are iid draws from the same length/error distribution, so the
+per-window cost is uniform).  The reference publishes no per-window
+number (BASELINE.json ``published`` is empty).
 
-Also asserts, on the real chip, that the fused Mosaic DP+traceback kernel
-produces the exact same alignment mapping as the XLA scan path
-(``pallas_scan_match``) — the on-hardware equivalence proof for the
-kernel the tests can only run in interpret mode.
+Timeout-hardened layout (every section is budgeted; the harness runs this
+under a hard timeout and a benchmark that cannot emit its number is a
+benchmark that doesn't exist):
 
-Prints ONE JSON line.
+1. the native-POA baseline runs in a background thread, concurrent with
+   the TPU warm-up compile;
+2. the HEADLINE JSON LINE IS PRINTED AND FLUSHED immediately after the
+   consensus timing — nothing slow runs before it except the consensus
+   warm-up itself;
+3. extras (on-chip Pallas-vs-scan equivalence, k-mer counting rate) run
+   only while wall-clock budget remains (``BENCH_BUDGET`` seconds, also
+   ``--budget``), each in its own try block, and a second ENRICHED line
+   (headline fields + extras) is printed at the end.  Either line parses
+   on its own.
 """
 
 import json
 import os
+import sys
+import threading
 import time
+
+T_START = time.time()
+BUDGET = float(os.environ.get("BENCH_BUDGET", "540"))
 
 import numpy as np
 
 # persistent XLA compilation cache: on this machine TPU compiles go through
-# a remote service at 1-3 min per shape — cache them across processes
+# a remote service at minutes per program — cache them across processes
 import jax
 
 jax.config.update(
@@ -43,6 +58,10 @@ N_SUPPORT = 13
 WIN_LEN = 300
 ERROR_RATE = 0.06
 BASELINE_SUBSET = 48
+
+
+def _remaining() -> float:
+    return BUDGET - (time.time() - T_START)
 
 
 def make_windows(seed=0, n_windows=N_WINDOWS):
@@ -75,6 +94,24 @@ def _timed(fn):
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def _run_baseline(windows, out):
+    """Native C++ POA (SPOA-grade), one CPU core; fills ``out`` dict.
+    Runs in a thread concurrent with the TPU warm-up compile."""
+    try:
+        from haslr_tpu.core import seq as cseq
+        from haslr_tpu.native import poa_consensus_native
+
+        code_wins = [
+            [cseq.encode(s) for s in w] for w in windows[:BASELINE_SUBSET]
+        ]
+        poa_consensus_native(code_wins[:2])  # warm (lazy native build)
+        t0 = time.time()
+        poa_consensus_native(code_wins, n_threads=1)
+        out["rate"] = BASELINE_SUBSET / (time.time() - t0)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        out["error"] = repr(e)
 
 
 def check_pallas_vs_scan():
@@ -129,55 +166,75 @@ def bench_kmer_rate(n_reads=64_000, n_batches=5):
 
 
 def main():
+    global BUDGET
+    if "--budget" in sys.argv:
+        BUDGET = float(sys.argv[sys.argv.index("--budget") + 1])
+
     from haslr_tpu.kernels.consensus import batched_consensus
 
     windows = make_windows()
-    # warm-up: compiles all bucket shapes (remote compile on TPU is slow)
-    batched_consensus(windows)
+
+    base: dict = {}
+    base_thread = threading.Thread(
+        target=_run_baseline, args=(windows, base), daemon=True
+    )
+    base_thread.start()
+
+    # warm-up: compiles the split engine's programs (remote compiles are
+    # slow cold; the committed .jax_cache makes this seconds when warm)
+    warm_dt = _timed(lambda: batched_consensus(windows))
     # best-of-3: the TPU here sits behind a shared relay with large
     # latency variance; the fastest run reflects the machine, the slow
     # ones reflect the queue
+    from haslr_tpu.kernels.consensus_dense import PROF
+
+    PROF.clear()  # prof_phases_s in the enriched line covers the 3 runs
     tpu_dt = min(
         _timed(lambda: batched_consensus(windows)) for _ in range(3)
     )
     tpu_rate = N_WINDOWS / tpu_dt
 
-    # native C++ POA baseline (SPOA-grade), one CPU core
-    from haslr_tpu.core import seq as cseq
-    from haslr_tpu.native import poa_consensus_native
+    base_thread.join(timeout=max(5.0, _remaining() * 0.5))
+    poa_rate = base.get("rate")
 
-    code_wins = [
-        [cseq.encode(s) for s in w] for w in windows[:BASELINE_SUBSET]
-    ]
-    poa_consensus_native(code_wins[:2])  # warm (lazy native build)
-    t0 = time.time()
-    poa_consensus_native(code_wins, n_threads=1)
-    poa_dt = time.time() - t0
-    poa_rate = BASELINE_SUBSET / poa_dt
+    headline = {
+        "metric": "consensus_windows_per_s_chip",
+        "value": round(tpu_rate, 2),
+        "unit": "windows/s",
+        "vs_baseline": (
+            round(tpu_rate / poa_rate, 2) if poa_rate else None
+        ),
+        "baseline": "native C++ POA (SPOA semantics), 1 CPU core, "
+                    f"rate extrapolated from {BASELINE_SUBSET} windows",
+        "baseline_windows_per_s": (
+            round(poa_rate, 2) if poa_rate else base.get("error")
+        ),
+        "platform": jax.devices()[0].platform,
+        "warmup_s": round(warm_dt, 1),
+    }
+    # the headline must survive a harness timeout of anything below
+    print(json.dumps(headline), flush=True)
 
-    try:
-        match = check_pallas_vs_scan()
-    except Exception:
-        match = "error"
-    try:
-        kmer_rate = round(bench_kmer_rate(), 1)
-    except Exception:
-        kmer_rate = "error"
+    extras = {}
+    if _remaining() > 90:
+        try:
+            extras["pallas_scan_match"] = check_pallas_vs_scan()
+        except Exception:
+            extras["pallas_scan_match"] = "error"
+    else:
+        extras["pallas_scan_match"] = "skipped (budget)"
+    if _remaining() > 90:
+        try:
+            extras["kmer_count_mbases_per_s"] = round(bench_kmer_rate(), 1)
+        except Exception:
+            extras["kmer_count_mbases_per_s"] = "error"
+    else:
+        extras["kmer_count_mbases_per_s"] = "skipped (budget)"
 
-    print(
-        json.dumps(
-            {
-                "metric": "consensus_windows_per_s_chip",
-                "value": round(tpu_rate, 2),
-                "unit": "windows/s",
-                "vs_baseline": round(tpu_rate / poa_rate, 2),
-                "baseline": "native C++ POA (SPOA semantics), 1 CPU core",
-                "baseline_windows_per_s": round(poa_rate, 2),
-                "pallas_scan_match": match,
-                "kmer_count_mbases_per_s": kmer_rate,
-            }
-        )
-    )
+    from haslr_tpu.kernels.consensus_dense import PROF
+
+    extras["prof_phases_s"] = {k: round(v, 2) for k, v in PROF.items()}
+    print(json.dumps({**headline, **extras}), flush=True)
 
 
 if __name__ == "__main__":

@@ -421,25 +421,117 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
 VOTE_IMPL = "scatter"
 
 
-@functools.partial(
-    jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9)
-)
+# --- split single-device engine ---------------------------------------
+#
+# The single-device path runs as a handful of SMALL jit programs chained
+# over device-resident arrays instead of one fused multi-round program.
+# The fused variant compiled >16 minutes through this machine's remote
+# XLA service (compile time is superlinear in program size); the split
+# programs compile in minutes each, are REUSED across polish rounds and
+# sub-groups (one compile per bucket shape, not per round), and a code
+# edit to the vote stage no longer invalidates the align stage's entry in
+# the persistent compilation cache.  Intermediates (reads, drafts,
+# mapping) never leave the device, so the relay round-trip cost of the
+# round-1 chunked engine does not return.
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _prep_bucket(flat, meta, N, S):
+    """Unpack the flat code array into device-resident (B, S) reads and
+    (N, S) drafts.  ``meta`` packs [read_off | r_lens | win_idx |
+    draft_off | d_lens] into one int32 array so the host->device hop is
+    a single transfer (each transfer costs ~25-45 ms of relay latency
+    here)."""
+    B = (meta.shape[0] - 2 * N) // 3
+    read_off = meta[:B]
+    r_lens = meta[B : 2 * B]
+    win_idx = meta[2 * B : 3 * B]
+    draft_off = meta[3 * B : 3 * B + N]
+    d_lens = meta[3 * B + N :]
+    reads = _unpack_rows(flat, read_off, r_lens, S)
+    drafts = _unpack_rows(flat, draft_off, d_lens, S)
+    return reads, r_lens, win_idx, drafts, d_lens
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _round_inputs(drafts, d_lens, win_idx, r_lens, dropped, W):
+    """Per-round gather of each read's current draft + band mask."""
+    dl_r = d_lens[win_idx]
+    dr_r = drafts[win_idx]
+    ok = (
+        (r_lens > 0)
+        & (dl_r > 0)
+        & (jnp.abs(r_lens - dl_r) < W // 2 - 4)
+    )
+    skipped = (r_lens > 0) & (dl_r > 0) & ~ok
+    N = drafts.shape[0]
+    drop_r = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(skipped, win_idx, DUMP)
+    ].add(1, mode="drop")
+    return dr_r, dl_r, ok, jnp.maximum(dropped, drop_r)
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def _vote_round(mapping, reads, r_lens, win_idx, ok, drafts, d_lens,
+                overflow, vote_impl):
+    """Scatter votes for one round and compact the new drafts."""
+    N, S = drafts.shape
+    scatter_fn = (
+        _scatter_votes_sorted if vote_impl == "sort" else _scatter_votes
+    )
+    tables = scatter_fn(mapping, reads, r_lens, win_idx, ok, N, S)
+    drafts, d_lens, total_keep = _vote_compact(
+        *tables, drafts, d_lens, N, S
+    )
+    return drafts, d_lens, jnp.maximum(overflow, total_keep - S)
+
+
+@jax.jit
+def _pack_out(drafts, d_lens, overflow, dropped):
+    """Pack final drafts 2-bit + int32 tail (same layout as the fused
+    sharded program's output) for a single device->host transfer."""
+    N, S = drafts.shape
+    codes = jnp.where(
+        jnp.arange(S, dtype=jnp.int32)[None, :] < d_lens[:, None],
+        drafts.astype(jnp.int32) & 3,
+        0,
+    )
+    g = codes.reshape(N, S // 4, 4)
+    packed = (
+        g[..., 0] | (g[..., 1] << 2) | (g[..., 2] << 4) | (g[..., 3] << 6)
+    ).astype(jnp.uint8)
+    tail = jax.lax.bitcast_convert_type(
+        jnp.stack([d_lens.astype(jnp.int32), overflow, dropped]),
+        jnp.uint8,
+    ).reshape(-1)
+    return jnp.concatenate([packed.reshape(-1), tail])
+
+
 def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap,
                   vote_impl="scatter"):
-    """Single-device entry: the whole multi-round consensus for one
-    bucket, on device.
-
-    ``meta`` packs [read_off | r_lens | win_idx | draft_off | d_lens]
-    into one int32 array so the host->device hop is a single transfer
-    (each separate transfer costs ~25-45 ms of relay latency here)."""
+    """Single-device multi-round consensus for one bucket: a Python loop
+    over the split jit stages; every intermediate stays on device and all
+    dispatches are async (the caller materializes the packed output)."""
     B = (meta.shape[0] - 2 * N) // 3
     use_pallas = nw.use_pallas_for(B, S, S, W)
-    return _rounds_impl(
-        flat, meta[:B], meta[B : 2 * B], meta[2 * B : 3 * B],
-        meta[3 * B : 3 * B + N], meta[3 * B + N :],
-        N, S, W, rounds, match, mismatch, gap, use_pallas,
-        vote_impl=vote_impl,
-    )
+    flat = jnp.asarray(flat)
+    meta = jnp.asarray(meta)
+    reads, r_lens, win_idx, drafts, d_lens = _prep_bucket(flat, meta, N, S)
+    overflow = jnp.zeros((N,), jnp.int32)
+    dropped = jnp.zeros((N,), jnp.int32)
+    for _ in range(rounds):
+        dr_r, dl_r, ok, dropped = _round_inputs(
+            drafts, d_lens, win_idx, r_lens, dropped, W
+        )
+        mapping = nw._align_mapping(
+            reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
+            use_pallas,
+        )
+        drafts, d_lens, overflow = _vote_round(
+            mapping, reads, r_lens, win_idx, ok, drafts, d_lens,
+            overflow, vote_impl,
+        )
+    return _pack_out(drafts, d_lens, overflow, dropped)
 
 
 @functools.lru_cache(maxsize=None)
@@ -548,6 +640,7 @@ def dense_consensus(
         else:
             max_b = max(64, n_dev * (1 << 30) // ((2 * S + 1) * W))
         sub: list[list[int]] = [[]]
+        sub_pairs = [0]
         acc = 0
         for wi in wins:
             cnt = sum(
@@ -557,16 +650,25 @@ def dense_consensus(
             )
             if acc + cnt > max_b and sub[-1]:
                 sub.append([])
+                sub_pairs.append(0)
                 acc = 0
             sub[-1].append(wi)
             acc += cnt
+            sub_pairs[-1] = acc
+        # share ONE padded (N, B) shape across this bucket's sub-groups so
+        # they all hit the same compiled programs (remote compiles cost
+        # minutes; the padding waste is at most one sub-group's worth)
+        unit = (32 if nw.use_pallas_for(32, S, S, W) else 8) * n_dev
+        N_pad = _pad_shape(max(len(s) for s in sub), 8)
+        B_pad = _pad_shape(max(sub_pairs), unit)
         # dispatch every group before materializing any result: jax
         # execution is async, so later groups' H2D transfers and compute
         # overlap earlier groups' execution instead of paying the relay
         # round-trip serially per group
         pending.extend(
             _dispatch_group(window_codes, drafts0, win_list, S, W,
-                            match, mismatch, gap, rounds, mesh)
+                            match, mismatch, gap, rounds, mesh,
+                            N_pad=N_pad, B_pad=B_pad)
             for win_list in sub
         )
     for p in pending:
@@ -585,9 +687,13 @@ def _prof(key, dt):
 
 
 def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
-                    mismatch, gap, rounds, mesh=None):
+                    mismatch, gap, rounds, mesh=None, N_pad=None,
+                    B_pad=None):
     """Pack one bucket group and dispatch its device rounds WITHOUT
-    blocking; returns a pending handle for :func:`_collect_group`."""
+    blocking; returns a pending handle for :func:`_collect_group`.
+
+    ``N_pad``/``B_pad``: caller-shared padded shapes (all sub-groups of a
+    bucket use the same compiled programs)."""
     import time as _time
 
     _t0 = _time.time()
@@ -620,14 +726,14 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
         r_lens.append(ln)
         win_idx.append(li)
 
-    N = _pad_shape(len(win_list), 8)
     # the Pallas kernel groups 32 reads per program; the scan fallback has
     # no such constraint and its direction tensor scales with B, so pad
     # less aggressively there.  Under a mesh, B must also split evenly
     # across devices with each shard keeping the grouping multiple.
     n_dev = 1 if mesh is None else int(mesh.devices.size)
     unit = (32 if nw.use_pallas_for(32, S, S, W) else 8) * n_dev
-    B = _pad_shape(len(pairs), unit)
+    N = N_pad if N_pad is not None else _pad_shape(len(win_list), 8)
+    B = B_pad if B_pad is not None else _pad_shape(len(pairs), unit)
     flat = (
         np.concatenate(flat_parts)
         if flat_parts
