@@ -146,15 +146,23 @@ def mapping_to_cigar(m: np.ndarray, q_codes: np.ndarray,
     return ccigar.normalize(ops, lens) + (n_eq,)
 
 
-def batch_align_segments(segments, match=2, mismatch=-4, gap=-2):
+def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
+                         mesh=None):
     """Globally align many (q_codes, t_codes) segment pairs on device.
 
     Segments are length-bucketed and run through the batched banded-NW
     kernel (the same engine as window consensus); pairs whose length
     difference exceeds the band fall back to the host banded NW.  Returns
     a list of (ops, lens, n_eq) parallel to ``segments``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — each
+    chunk's rows then split across the mesh (rows are independent, no
+    collective), so a pod maps reads with every chip busy (minimap2's
+    role, reference ``bin/haslr.py:99``).
     """
     from haslr_tpu.kernels import nw as knw
+
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
 
     results = [None] * len(segments)
     buckets = {}
@@ -187,7 +195,7 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2):
             max_b *= 2
         for lo in range(0, len(idxs), max_b):
             chunk = idxs[lo : lo + max_b]
-            B = 32
+            B = 32 * n_dev
             while B < len(chunk):
                 B *= 2
             reads = np.full((B, S), 4, dtype=np.uint8)
@@ -200,9 +208,15 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2):
                 drafts[k, : len(t)] = t
                 r_lens[k] = len(q)
                 d_lens[k] = len(t)
-            mapping_dev = knw.align_mapping_device_raw(
-                reads, r_lens, drafts, d_lens, W, match, mismatch, gap
-            )
+            if mesh is None:
+                mapping_dev = knw.align_mapping_device_raw(
+                    reads, r_lens, drafts, d_lens, W, match, mismatch, gap
+                )
+            else:
+                mapping_dev = knw.align_mapping_device_sharded(
+                    reads, r_lens, drafts, d_lens, mesh, W, match,
+                    mismatch, gap,
+                )
             in_flight.append(
                 (chunk, mapping_dev, reads, drafts, r_lens, d_lens)
             )

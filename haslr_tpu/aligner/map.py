@@ -264,6 +264,7 @@ def map_reads(
     min_chain_score: float = 40.0,
     threads: int = 1,
     host_shard: tuple[int, int] | None = None,
+    mesh=None,
 ) -> int:
     """Map all reads; writes PAF; returns the record count.
 
@@ -303,7 +304,7 @@ def map_reads(
 
     from haslr_tpu.aligner.extend import batch_align_segments
 
-    seg_results = batch_align_segments(segments)
+    seg_results = batch_align_segments(segments, mesh=mesh)
     return _emit_all(
         pending, seg_results, contig_names, contig_codes, out_paf
     )

@@ -268,6 +268,120 @@ def _scatter_votes_sorted(mapping, reads, r_lens, win_idx, ok, N, S):
     return counts, cov_diff, ins1, ins2, n_reads
 
 
+def _scatter_votes_packed(mapping, reads, r_lens, win_idx, ok, N, S):
+    """Same tables as :func:`_scatter_votes`, built with ONE big scatter.
+
+    The direct path issues three B*S-element scatter-adds (base votes,
+    ins1, ins2) — 3x the scatter traffic for mutually-exclusive events
+    (each read position is EITHER an aligned base vote OR an insertion
+    vote OR nothing).  Here every position contributes one (cell, value)
+    pair to a single combined table: the cell encodes
+    (window, position/anchor, vote kind, base-pair) and the value packs
+    the base's count increment into the low or high 16 bits of the int32
+    cell (``1 << 16*(base & 1)``), so four base counters live in two
+    int32 cells.  Counts stay exact while every per-table count is
+    <= 65535 — guaranteed because a window's support is bounded by the
+    bucket batch (B <= 65536 rows; padded rows vote into a dump cell).
+    The O(B) coverage/read-count scatters are unchanged."""
+    B = mapping.shape[0]
+    Sr = mapping.shape[1]
+    col = jnp.arange(Sr, dtype=jnp.int32)[None, :]
+    in_len = col < r_lens[:, None]
+    m = mapping.astype(jnp.int32)
+    aligned = (m >= 0) & in_len & ok[:, None]
+    rbase = reads.astype(jnp.int32) & 3
+    win = win_idx[:, None]
+
+    # insertion runs + ranks (identical logic to _scatter_votes)
+    ins = (m <= -2) & in_len & ok[:, None]
+    anchors = -m - 3
+    prev_ins = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ins[:, :-1]], axis=1
+    )
+    prev_anchor = jnp.concatenate(
+        [jnp.full((B, 1), -9, jnp.int32), anchors[:, :-1]], axis=1
+    )
+    start = ins & (~prev_ins | (anchors != prev_anchor))
+    idx = jnp.broadcast_to(col, (B, Sr))
+    last_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(start, idx, -1), axis=1
+    )
+    rank = idx - last_start
+    any_aligned = aligned.any(axis=1)
+    row_ok = any_aligned[:, None]
+    ins_sel = ins & (rank <= 1) & row_ok
+
+    # combined cell: [0, 2NS) base votes, [2NS, 2NS+4N(S+1)) ins votes
+    hi = rbase >> 1
+    cell_cnt = (win * S + jnp.clip(m, 0, S - 1)) * 2 + hi
+    q = jnp.clip(anchors + 1, 0, S)
+    cell_ins = (
+        2 * N * S + ((win * (S + 1) + q) * 2 + rank) * 2 + hi
+    )
+    cell = jnp.where(
+        aligned, cell_cnt, jnp.where(ins_sel, cell_ins, DUMP)
+    )
+    val = jnp.int32(1) << (16 * (rbase & 1))
+    table = (
+        jnp.zeros(2 * N * S + 4 * N * (S + 1), jnp.int32)
+        .at[cell.reshape(-1)]
+        .add(val.reshape(-1), mode="drop")
+    )
+
+    cnt2 = table[: 2 * N * S].reshape(N * S, 2)
+    counts = jnp.stack(
+        [
+            cnt2[:, 0] & 0xFFFF,
+            cnt2[:, 0] >> 16,
+            cnt2[:, 1] & 0xFFFF,
+            cnt2[:, 1] >> 16,
+        ],
+        axis=1,
+    )
+    ins_t = table[2 * N * S :].reshape(N * (S + 1), 2, 2)
+    ins1 = jnp.stack(
+        [
+            ins_t[:, 0, 0] & 0xFFFF,
+            ins_t[:, 0, 0] >> 16,
+            ins_t[:, 0, 1] & 0xFFFF,
+            ins_t[:, 0, 1] >> 16,
+        ],
+        axis=1,
+    )
+    ins2 = jnp.stack(
+        [
+            ins_t[:, 1, 0] & 0xFFFF,
+            ins_t[:, 1, 0] >> 16,
+            ins_t[:, 1, 1] & 0xFFFF,
+            ins_t[:, 1, 1] >> 16,
+        ],
+        axis=1,
+    )
+
+    # coverage span + read-count scatters (O(B), unchanged)
+    woff1 = jnp.where(ok, win_idx * (S + 1), DUMP)
+    cov_diff = jnp.zeros(N * (S + 1) + 1, jnp.int32)
+    big = jnp.where(aligned, m, jnp.int32(1 << 29))
+    small = jnp.where(aligned, m, jnp.int32(-1))
+    jmin = big.min(axis=1)
+    jmax = small.max(axis=1)
+    start_t = jnp.where(any_aligned, woff1 + jmin, DUMP)
+    end_t = jnp.where(any_aligned, woff1 + jmax + 1, DUMP)
+    cov_diff = cov_diff.at[start_t].add(1, mode="drop")
+    cov_diff = cov_diff.at[end_t].add(-1, mode="drop")
+    n_reads = jnp.zeros(N, jnp.int32).at[
+        jnp.where(any_aligned, win_idx, DUMP)
+    ].add(1, mode="drop")
+    return counts, cov_diff, ins1, ins2, n_reads
+
+
+_SCATTER_IMPLS = {
+    "scatter": _scatter_votes,
+    "sort": _scatter_votes_sorted,
+    "packed": _scatter_votes_packed,
+}
+
+
 def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
                   N, S):
     """Dense majority vote + on-device draft compaction.
@@ -280,15 +394,30 @@ def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
     counts4 = counts.reshape(N, S, 4)
     cov = jnp.cumsum(cov_diff[: N * (S + 1)].reshape(N, S + 1), axis=1)
 
-    base_sum = counts4.sum(axis=2)
-    base_best = counts4.argmax(axis=2).astype(jnp.int32)
-    base_best_cnt = jnp.take_along_axis(
-        counts4, base_best[..., None], axis=2
-    )[..., 0]
+    def best_and_sum(t4):
+        """(argmax, max, sum) along the trailing base axis via explicit
+        compares — take_along_axis/argmax lower to per-element gathers on
+        TPU and measured ~7x slower than these three vector passes."""
+        c0, c1, c2, c3 = (t4[..., i] for i in range(4))
+        m01 = jnp.maximum(c0, c1)
+        m23 = jnp.maximum(c2, c3)
+        best_cnt = jnp.maximum(m01, m23)
+        # argmax tie-break = lowest index, matching jnp.argmax
+        best = jnp.where(
+            m01 >= m23,
+            jnp.where(c0 >= c1, 0, 1),
+            jnp.where(c2 >= c3, 2, 3),
+        ).astype(jnp.int32)
+        return best, best_cnt, c0 + c1 + c2 + c3
+
+    base_best, base_best_cnt, base_sum = best_and_sum(counts4)
     draft_codes = (drafts.astype(jnp.int32) & 3)
-    draft_cnt = jnp.take_along_axis(
-        counts4, draft_codes[..., None], axis=2
-    )[..., 0]
+    draft_cnt = (
+        jnp.where(draft_codes == 0, counts4[..., 0], 0)
+        + jnp.where(draft_codes == 1, counts4[..., 1], 0)
+        + jnp.where(draft_codes == 2, counts4[..., 2], 0)
+        + jnp.where(draft_codes == 3, counts4[..., 3], 0)
+    )
     base_call = jnp.where(
         draft_cnt == base_best_cnt, draft_codes, base_best
     )
@@ -296,14 +425,13 @@ def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
 
     ins1_4 = ins1.reshape(N, S + 1, 4)
     ins2_4 = ins2.reshape(N, S + 1, 4)
-    ins1_sum = ins1_4.sum(axis=2)
-    ins2_sum = ins2_4.sum(axis=2)
-    q = jnp.arange(S + 1, dtype=jnp.int32)[None, :]
-    cov_prev = jnp.take_along_axis(cov, jnp.maximum(q - 1, 0), axis=1)
+    ins1_call, _i1max, ins1_sum = best_and_sum(ins1_4)
+    ins2_call, _i2max, ins2_sum = best_and_sum(ins2_4)
+    # cov_prev[:, q] = cov[:, max(q-1, 0)] — a 1-lane shift, not a gather
+    cov_prev = jnp.concatenate([cov[:, :1], cov[:, :-1]], axis=1)
     emit_i1 = ins1_sum * 2 > jnp.maximum(cov_prev, 1)
     emit_i2 = (ins2_sum * 2 > jnp.maximum(cov_prev, 1)) & emit_i1
-    ins1_call = ins1_4.argmax(axis=2).astype(jnp.int32)
-    ins2_call = ins2_4.argmax(axis=2).astype(jnp.int32)
+    q = jnp.arange(S + 1, dtype=jnp.int32)[None, :]
 
     # slot interleave: [i1[0], i2[0], (base[p], i1[p+1], i2[p+1]) * S]
     pos_ok = q[:, :S] < d_lens[:, None]          # base slots: p < d_len
@@ -387,9 +515,7 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
             reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
             use_pallas,
         )
-        scatter_fn = (
-            _scatter_votes_sorted if vote_impl == "sort" else _scatter_votes
-        )
+        scatter_fn = _SCATTER_IMPLS[vote_impl]
         tables = scatter_fn(mapping, reads, r_lens, win_idx, ok, N, S)
         if axis is not None:
             tables = jax.lax.psum(tables, axis)
@@ -476,9 +602,7 @@ def _vote_round(mapping, reads, r_lens, win_idx, ok, drafts, d_lens,
                 overflow, vote_impl):
     """Scatter votes for one round and compact the new drafts."""
     N, S = drafts.shape
-    scatter_fn = (
-        _scatter_votes_sorted if vote_impl == "sort" else _scatter_votes
-    )
+    scatter_fn = _SCATTER_IMPLS[vote_impl]
     tables = scatter_fn(mapping, reads, r_lens, win_idx, ok, N, S)
     drafts, d_lens, total_keep = _vote_compact(
         *tables, drafts, d_lens, N, S
@@ -658,7 +782,9 @@ def dense_consensus(
         # share ONE padded (N, B) shape across this bucket's sub-groups so
         # they all hit the same compiled programs (remote compiles cost
         # minutes; the padding waste is at most one sub-group's worth)
-        unit = (32 if nw.use_pallas_for(32, S, S, W) else 8) * n_dev
+        unit = (
+            nw.pallas_unit(S, S, W) if nw.use_pallas_for(32, S, S, W) else 8
+        ) * n_dev
         N_pad = _pad_shape(max(len(s) for s in sub), 8)
         B_pad = _pad_shape(max(sub_pairs), unit)
         # dispatch every group before materializing any result: jax
@@ -731,7 +857,9 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
     # less aggressively there.  Under a mesh, B must also split evenly
     # across devices with each shard keeping the grouping multiple.
     n_dev = 1 if mesh is None else int(mesh.devices.size)
-    unit = (32 if nw.use_pallas_for(32, S, S, W) else 8) * n_dev
+    unit = (
+        nw.pallas_unit(S, S, W) if nw.use_pallas_for(32, S, S, W) else 8
+    ) * n_dev
     N = N_pad if N_pad is not None else _pad_shape(len(win_list), 8)
     B = B_pad if B_pad is not None else _pad_shape(len(pairs), unit)
     flat = (

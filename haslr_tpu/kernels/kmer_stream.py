@@ -120,6 +120,35 @@ def _pow2(n: int, floor: int = 1024) -> int:
     return p
 
 
+@functools.lru_cache(maxsize=None)
+def _make_sharded_merge(mesh, n_words, M, min_count):
+    """shard_mapped phase-2 merge: each device merges ONE partition of the
+    group (prefix partitions are disjoint by construction, so there is no
+    collective — SURVEY §2.3's multi-chip k-mer mapping: the only cross-
+    device exchange is the host-side prefix split, which in a multi-host
+    deployment becomes the (k-mer, count) all-to-all keyed by prefix)."""
+    from jax.sharding import PartitionSpec as P
+
+    def _one(stack, n_rows):
+        # local shard: (1, n_words+1, M) rows + (1,) real row count
+        out_words, out_counts, n_keep = _merge_partition(
+            stack[0, :-1], stack[0, -1], n_rows[0], min_count
+        )
+        return (
+            jnp.stack(list(out_words))[None],
+            out_counts[None],
+            n_keep[None].astype(jnp.int32),
+        )
+
+    sm = jax.shard_map(
+        _one,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp")),
+    )
+    return jax.jit(sm)
+
+
 class _PartitionStore:
     """Per-partition (words, counts) row buffers, RAM or disk-backed."""
 
@@ -166,6 +195,7 @@ def count_kmers_streaming(
     chunk_bases: int = 1 << 24,
     prefix_bits: int = 4,
     spill_dir: str | None = None,
+    mesh=None,
 ):
     """Canonical k-mer counts over an iterable of read code arrays.
 
@@ -173,7 +203,12 @@ def count_kmers_streaming(
     distinct canonical k-mers in sorted order with count >= min_count.
     Device and host memory stay bounded by ``chunk_bases`` and the largest
     partition (1/4^prefix_bits of the distinct k-mers), independent of
-    total input size."""
+    total input size.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — phase 2
+    then merges ``n_devices`` prefix partitions at a time, one partition
+    per device (disjoint prefix ranges: no collective), with bit-identical
+    output to the single-device path."""
     spans = _word_spans(k)
     n_words = len(spans)
     first_word_bases = spans[0][1] - spans[0][0]
@@ -231,27 +266,63 @@ def count_kmers_streaming(
 
     # ---- phase 2: per-partition merge ---------------------------------
     his, los, cnts = [], [], []
-    for pid in range(n_parts):
-        rows = store.take(pid)
-        m = rows.shape[1]
-        if m == 0:
-            continue
-        mp = _pow2(m, 1024)
-        padded = np.full((n_words + 1, mp), FULL, np.uint32)
-        padded[:, :m] = rows
-        padded[-1, m:] = 0
-        out_words, out_counts, n_keep = _merge_partition(
-            jnp.asarray(padded[:-1]), jnp.asarray(padded[-1]), m, min_count
-        )
-        nk = int(n_keep)
+
+    def emit(out_words, out_counts, nk):
         if nk == 0:
-            continue
+            return
         words = [np.asarray(w[:nk]) for w in out_words]
         counts = np.asarray(out_counts[:nk]).astype(np.int64)
         hi, lo = _words_to_pair(words, k)
         his.append(hi)
         los.append(lo)
         cnts.append(counts)
+
+    if mesh is None:
+        for pid in range(n_parts):
+            rows = store.take(pid)
+            m = rows.shape[1]
+            if m == 0:
+                continue
+            mp = _pow2(m, 1024)
+            padded = np.full((n_words + 1, mp), FULL, np.uint32)
+            padded[:, :m] = rows
+            padded[-1, m:] = 0
+            out_words, out_counts, n_keep = _merge_partition(
+                jnp.asarray(padded[:-1]), jnp.asarray(padded[-1]), m,
+                min_count,
+            )
+            emit(out_words, out_counts, int(n_keep))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        for lo_pid in range(0, n_parts, n_dev):
+            group = [
+                store.take(pid)
+                for pid in range(lo_pid, min(lo_pid + n_dev, n_parts))
+            ]
+            while len(group) < n_dev:
+                group.append(np.zeros((n_words + 1, 0), np.uint32))
+            ms = [g.shape[1] for g in group]
+            if not any(ms):
+                continue
+            mp = _pow2(max(ms), 1024)
+            padded = np.full((n_dev, n_words + 1, mp), FULL, np.uint32)
+            for d, g in enumerate(group):
+                padded[d, :, : g.shape[1]] = g
+                padded[d, -1, g.shape[1]:] = 0
+            fn = _make_sharded_merge(mesh, n_words, mp, min_count)
+            w_all, c_all, k_all = fn(
+                jax.device_put(padded, NamedSharding(mesh, P("dp"))),
+                jax.device_put(
+                    np.asarray(ms, np.int32), NamedSharding(mesh, P("dp"))
+                ),
+            )
+            w_all = np.asarray(w_all)
+            c_all = np.asarray(c_all)
+            k_all = np.asarray(k_all)
+            for d in range(n_dev):
+                emit(list(w_all[d]), c_all[d], int(k_all[d]))
     if not his:
         z = np.zeros(0, np.uint64)
         return z, z, np.zeros(0, np.int64)

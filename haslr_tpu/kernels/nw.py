@@ -249,8 +249,17 @@ def _on_tpu() -> bool:
 def use_pallas_for(B: int, R: int, D: int, W: int) -> bool:
     """Whether the fused Mosaic kernel handles this shape: TPU backend,
     whole GROUPs, and the per-program VMEM direction scratch within
-    budget."""
+    budget (at the minimum group of 32; the kernel doubles the group when
+    the scratch allows)."""
     return _on_tpu() and B % 32 == 0 and (R + D + 1) * 32 * W <= 8 << 20
+
+
+def pallas_unit(R: int, D: int, W: int) -> int:
+    """Batch-padding multiple that lets the kernel use its preferred
+    group size for this shape."""
+    from haslr_tpu.kernels.nw_pallas import group_for
+
+    return group_for(R, D, W)
 
 
 def align_mapping_device_raw(
@@ -294,6 +303,56 @@ def align_mapping_device(
         align_mapping_device_raw(
             reads, r_lens, drafts, d_lens, W, match, mismatch, gap
         )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_align(mesh, R, D, W, match, mismatch, gap, use_pallas):
+    """shard_mapped batched align over the mesh's ``dp`` axis: rows are
+    independent, so the batch simply splits across devices (no collective)
+    and the mapping comes back row-sharded.  check_vma=False for the same
+    reason as the sharded consensus: the NW scan's carry mixes unvarying
+    inits with dp-varying rows, which the static checker rejects although
+    every output row depends only on its own shard."""
+    from jax.sharding import PartitionSpec as P
+
+    def _one(reads, r_lens, drafts, d_lens):
+        return _align_mapping_inner(
+            reads, r_lens, drafts, d_lens, R, D, W, match, mismatch, gap,
+            use_pallas,
+        )
+
+    sm = jax.shard_map(
+        _one,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def align_mapping_device_sharded(
+    reads, r_lens, drafts, d_lens, mesh, W=128, match=5, mismatch=-4,
+    gap=-8,
+):
+    """Like :func:`align_mapping_device_raw` but data-parallel over a
+    ``dp`` mesh (B must divide evenly; pad with zero-length rows)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, R = reads.shape
+    D = drafts.shape[1]
+    n_dev = int(mesh.devices.size)
+    assert B % n_dev == 0
+    use_pallas = use_pallas_for(B // n_dev, R, D, W)
+    fn = _make_sharded_align(mesh, R, D, W, match, mismatch, gap,
+                             use_pallas)
+    sh = NamedSharding(mesh, P("dp"))
+    return fn(
+        jax.device_put(np.ascontiguousarray(reads), sh),
+        jax.device_put(np.ascontiguousarray(r_lens, np.int32), sh),
+        jax.device_put(np.ascontiguousarray(drafts), sh),
+        jax.device_put(np.ascontiguousarray(d_lens, np.int32), sh),
     )
 
 

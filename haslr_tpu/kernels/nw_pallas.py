@@ -37,7 +37,20 @@ from haslr_tpu.kernels.nw import band_bases
 
 NEG = np.int32(-(10**8))
 DIAG, UP, LEFT = 0, 1, 2
-GROUP = 32  # reads per grid program (int8 sublane tile: 32)
+GROUP = 32  # minimum reads per grid program (int8 sublane tile: 32)
+# per-program VMEM budget for the direction scratch (v5e VMEM is ~16 MB;
+# leave room for the double-buffered input blocks)
+DIRS_VMEM_BUDGET = 10 << 20
+# debug switch (trace time): skip the in-kernel traceback to measure the
+# DP phase alone — the mapping output is then meaningless
+TB_SKIP = False
+
+
+def group_for(R: int, D: int, W: int) -> int:
+    """Reads per grid program: 64 when the direction scratch fits VMEM
+    (measured 1.6x faster than 32 — the per-step scalar/control overhead
+    amortizes over twice the rows), else 32."""
+    return 64 if (R + D + 1) * 64 * W <= DIRS_VMEM_BUDGET else 32
 
 
 def _rev_pad_inputs(reads, drafts, W):
@@ -53,7 +66,7 @@ def _rev_pad_inputs(reads, drafts, W):
 
 
 def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
-              *, R, D, W, match, mismatch, gap):
+              *, R, D, W, match, mismatch, gap, GROUP):
     """Run the banded DP up to anti-diagonal ``t_hi`` (inclusive), writing
     direction rows to ``dirs_ref`` (HBM output block or VMEM scratch).
 
@@ -68,19 +81,36 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
     sequence read padding/garbage; every such lane is an invalid DP cell
     (``i``/``j`` out of range) and is masked to NEG regardless.
     """
+    # int16 DP lanes when the scores provably fit: |real score| <=
+    # |gap|*(R+D) and the NEG sentinel only ever has one sub/gap added
+    # before being re-clamped, so -20000 leaves ample margin to the int16
+    # range.  Halves the VPU tile count of every arithmetic op in the hot
+    # loop.  Masks are born from int16 compares (lane16/i16/j16) or cast
+    # through int32->int16 arithmetic, never relayouted across tilings.
+    use16 = (R + D) * 8 + 64 < 20000
+    sdt = jnp.int16 if use16 else jnp.int32
+    neg = jnp.asarray(-20000 if use16 else NEG, sdt)
+    inf = jnp.asarray(20000 if use16 else -NEG, sdt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
+    lane_s = jax.lax.broadcasted_iota(sdt, (GROUP, W), 1)
     WIDE = 2 * W
+    # roll-edge caps: stored scores are >= neg, so a min() against neg at
+    # the wrapped lane pins it exactly (and inf elsewhere is a no-op)
+    cap_first = jnp.where(lane_s == 0, neg, inf)
+    cap_last = jnp.where(lane_s == W - 1, neg, inf)
 
     # Loop-carry inits must carry the natural {0,0} vector layout of the
     # loop-body outputs; constant (or constant-folded) inits get replicated
     # layouts and Mosaic cannot relayout non-replicated -> replicated at
     # the loop back-edge.  min(codes, 0) == 0 for 2-bit code data but is
     # not foldable, pinning each init to a distinct data-dependent value.
-    anchor_r = jnp.minimum(rrev_ref[:, 0:W], 0)
-    anchor_d = jnp.minimum(dpad_ref[:, 0:W], 0)
-    h_init = jnp.full((GROUP, W), NEG, jnp.int32) + anchor_r
-    h0 = jnp.where(lane == 0, 0, h_init) + anchor_d
+    anchor_r = jnp.minimum(rrev_ref[:, 0:W], 0).astype(sdt)
+    anchor_d = jnp.minimum(dpad_ref[:, 0:W], 0).astype(sdt)
+    h_init = jnp.full((GROUP, W), neg, sdt) + anchor_r
+    h0 = jnp.where(lane_s == 0, jnp.asarray(0, sdt), h_init) + anchor_d
     dirs_ref[0] = jnp.zeros((GROUP, W), jnp.uint8)
+    rl_s = rl.astype(sdt)
+    dl_s = dl.astype(sdt)
 
     def window(ref, o, size):
         """(GROUP, W) with out[:, k] = ref[:, o + k] wherever o + k lands in
@@ -103,33 +133,35 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
         db = window(dpad_ref, b_t - 1, D)
         # neighbors: up = h1[k+s1], left = h1[k+s1-1], diag = h2[k+s2-1]
         # with s1 in {0,1} and s2 in {0,1,2} — one roll each way per row
-        h1r = jnp.where(
-            lane == W - 1, NEG, pltpu.roll(h_prev1, W - 1, axis=1)
-        )
-        h1l = jnp.where(lane == 0, NEG, pltpu.roll(h_prev1, 1, axis=1))
+        h1r = jnp.minimum(pltpu.roll(h_prev1, W - 1, axis=1), cap_last)
+        h1l = jnp.minimum(pltpu.roll(h_prev1, 1, axis=1), cap_first)
         up = jnp.where(s1 == 1, h1r, h_prev1)
         left = jnp.where(s1 == 1, h_prev1, h1l)
-        h2r = jnp.where(
-            lane == W - 1, NEG, pltpu.roll(h_prev2, W - 1, axis=1)
-        )
-        h2l = jnp.where(lane == 0, NEG, pltpu.roll(h_prev2, 1, axis=1))
+        h2r = jnp.minimum(pltpu.roll(h_prev2, W - 1, axis=1), cap_last)
+        h2l = jnp.minimum(pltpu.roll(h_prev2, 1, axis=1), cap_first)
         diag = jnp.where(s2 == 2, h2r, jnp.where(s2 == 0, h2l, h_prev2))
-        sub = jnp.where(rb == db, match, mismatch)
-        j = b_t + lane
-        i = t - j
-        cand_d = jnp.where((i >= 1) & (j >= 1), diag + sub, NEG)
-        cand_u = jnp.where(i >= 1, up + gap, NEG)
-        cand_l = jnp.where(j >= 1, left + gap, NEG)
+        # int32 compare + select, then a plain cast (no mask relayout)
+        sub = jnp.where(rb == db, match, mismatch).astype(sdt)
+        # candidates UNmasked: an out-of-range neighbor always carries the
+        # neg sentinel (invalid cells are clamped below), so neg+gap/sub
+        # can never win the max at any cell the traceback visits, and ties
+        # between real candidates are unaffected
+        cand_d = diag + sub
+        cand_u = up + jnp.asarray(gap, sdt)
+        cand_l = left + jnp.asarray(gap, sdt)
         h = jnp.maximum(cand_d, jnp.maximum(cand_u, cand_l))
-        # keep the selection in int32-land: an i1 mask born from int32 lanes
-        # cannot relayout onto int8 vectors in Mosaic
         d = jnp.where(
             h == cand_d,
-            jnp.int32(DIAG),
-            jnp.where(h == cand_u, jnp.int32(UP), jnp.int32(LEFT)),
+            jnp.asarray(DIAG, sdt),
+            jnp.where(
+                h == cand_u, jnp.asarray(UP, sdt), jnp.asarray(LEFT, sdt)
+            ),
         )
-        valid = (i >= 0) & (i <= rl) & (j >= 0) & (j <= dl)
-        h = jnp.where(valid, h, NEG)
+        # i/j in score dtype so the validity mask shares the h layout
+        j_s = jnp.asarray(b_t, sdt) + lane_s
+        i_s = jnp.asarray(t, sdt) - j_s
+        valid = (i_s >= 0) & (i_s <= rl_s) & (j_s >= 0) & (j_s <= dl_s)
+        h = jnp.where(valid, h, neg)
         dirs_ref[t] = d.astype(jnp.uint8)
         return h_prev1, h
 
@@ -137,15 +169,15 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
 
 
 def _kernel(base_ref, rrev_ref, dpad_ref, rlen_ref, dlen_ref, dirs_ref,
-            *, R, D, W, match, mismatch, gap):
+            *, R, D, W, match, mismatch, gap, GROUP):
     _dp_phase(base_ref, rrev_ref, dpad_ref, rlen_ref[:], dlen_ref[:],
               dirs_ref, R + D, R=R, D=D, W=W, match=match,
-              mismatch=mismatch, gap=gap)
+              mismatch=mismatch, gap=gap, GROUP=GROUP)
 
 
 def _fused_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
                   dlen_ref, map_ref, dirs_vmem, *, R, D, W, match, mismatch,
-                  gap):
+                  gap, GROUP):
     """DP into VMEM scratch, then wavefront traceback → (GROUP, R) mapping.
 
     Traceback walks ``t`` from the group's max anti-diagonal down to 1;
@@ -158,7 +190,8 @@ def _fused_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
     dl = dlen_ref[:]
     t_max = tmax_ref[pl.program_id(0)]
     _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_vmem, t_max,
-              R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap)
+              R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap,
+              GROUP=GROUP)
 
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
     col_r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, R), 1)
@@ -190,6 +223,9 @@ def _fused_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
         j = j - (is_diag | is_left)
         return i, j, mapping
 
+    if TB_SKIP:
+        map_ref[:] = mapping0
+        return
     _, _, mapping = jax.lax.fori_loop(
         0, t_max, tb_step, (rl, dl, mapping0), unroll=False
     )
@@ -204,12 +240,16 @@ def nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
     ``interpret=True`` runs the kernel in the Pallas interpreter (the only
     mode available on CPU; used by the test suite)."""
     B = reads.shape[0]
-    assert B % GROUP == 0
+    G = group_for(R, D, W)
+    if B % G:
+        G = 32
+    assert B % G == 0
     T = R + D
     base = jnp.asarray(band_bases(R, D, W), dtype=jnp.int32)
-    grid = (B // GROUP,)
+    grid = (B // G,)
     kernel = functools.partial(
-        _kernel, R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap
+        _kernel, R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap,
+        GROUP=G,
     )
     rrev, dpad = _rev_pad_inputs(reads, drafts, W)
     return pl.pallas_call(
@@ -218,13 +258,13 @@ def nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((GROUP, R + 2 * W), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, D + 2 * W), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, R + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, D + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, 1), lambda i, *_: (i, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (T + 1, GROUP, W), lambda i, *_: (0, i, 0)
+                (T + 1, G, W), lambda i, *_: (0, i, 0)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((T + 1, B, W), jnp.uint8),
@@ -245,33 +285,36 @@ def nw_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
     encoding of :func:`haslr_tpu.kernels.nw.traceback_batch`) with the
     direction tensor confined to VMEM scratch (B % GROUP == 0)."""
     B = reads.shape[0]
-    assert B % GROUP == 0
+    G = group_for(R, D, W)
+    if B % G:
+        G = 32
+    assert B % G == 0
     T = R + D
     base = jnp.asarray(band_bases(R, D, W), dtype=jnp.int32)
     rl = r_lens.astype(jnp.int32)
     dl = d_lens.astype(jnp.int32)
-    group_tmax = (rl + dl).reshape(B // GROUP, GROUP).max(axis=1)
+    group_tmax = (rl + dl).reshape(B // G, G).max(axis=1)
     # every group runs at least one step so fori_loop bounds stay trivial
     group_tmax = jnp.maximum(group_tmax, 1)
     kernel = functools.partial(
         _fused_kernel, R=R, D=D, W=W, match=match, mismatch=mismatch,
-        gap=gap,
+        gap=gap, GROUP=G,
     )
     rrev, dpad = _rev_pad_inputs(reads, drafts, W)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B // GROUP,),
+            grid=(B // G,),
             in_specs=[
-                pl.BlockSpec((GROUP, R + 2 * W), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, D + 2 * W), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
-                pl.BlockSpec((GROUP, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, R + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, D + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, 1), lambda i, *_: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((GROUP, R), lambda i, *_: (i, 0)),
+            out_specs=pl.BlockSpec((G, R), lambda i, *_: (i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((T + 1, GROUP, W), jnp.uint8),
+                pltpu.VMEM((T + 1, G, W), jnp.uint8),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, R), jnp.int32),

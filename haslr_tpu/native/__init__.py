@@ -86,6 +86,12 @@ def get_lib():
     lib.hx_dbg_links.argtypes = [ctypes.c_void_p]
     lib.hx_dbg_free.restype = None
     lib.hx_dbg_free.argtypes = [ctypes.c_void_p]
+    lib.hx_dbg_pop_run.restype = ctypes.c_void_p
+    lib.hx_dbg_pop_run.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_int,
+    ]
     # anchor chaining
     lib.hx_chain_run.restype = ctypes.c_void_p
     lib.hx_chain_run.argtypes = [
@@ -267,12 +273,15 @@ def chain_anchors_native(t_pos, q_pos, k, window, max_gap, min_score,
         lib.hx_chain_free(h)
 
 
-def dbg_unitigs(hi, lo, cnt, k: int):
+def dbg_unitigs(hi, lo, cnt, k: int, pop_rounds: int = 0):
     """Native de Bruijn compaction; returns (seqs, kc, nk, links) or None
     when the library is unavailable.
 
     ``seqs`` is a list of unitig strings; ``links`` is an (n, 4) int32
     array of (from_uid, from_sign, to_uid, to_sign) with sign 0='+'.
+    ``pop_rounds > 0`` runs iterative simple-bubble popping (delete the
+    weaker branch's k-mers, re-compact) natively before emitting — the
+    bounded-memory twin of ``sr.dbg.pop_bubbles``.
     """
     lib = get_lib()
     if lib is None:
@@ -280,12 +289,20 @@ def dbg_unitigs(hi, lo, cnt, k: int):
     hi = np.ascontiguousarray(hi, dtype=np.uint64)
     lo = np.ascontiguousarray(lo, dtype=np.uint64)
     cnt32 = np.ascontiguousarray(cnt, dtype=np.uint32)
-    h = lib.hx_dbg_run(
-        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        cnt32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        len(hi), k,
-    )
+    if pop_rounds > 0:
+        h = lib.hx_dbg_pop_run(
+            hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            cnt32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(hi), k, pop_rounds,
+        )
+    else:
+        h = lib.hx_dbg_run(
+            hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            cnt32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(hi), k,
+        )
     if not h:
         return None
     try:

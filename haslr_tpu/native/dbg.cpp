@@ -8,6 +8,8 @@
 // sequences, KC/k-mer counts and minia-style end links.  Python binds via
 // ctypes (see native/__init__.py); k <= 64.
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -169,14 +171,12 @@ inline u128 pack(const Kmer& v) {
     return ((u128)v.hi << 64) | v.lo;
 }
 
-}  // namespace
+struct Entry {
+    Kmer km;
+    uint32_t cnt;
+};
 
-extern "C" {
-
-void* hx_dbg_run(const uint64_t* hi, const uint64_t* lo,
-                 const uint32_t* cnt, uint64_t n, int k) {
-    if (k < 2 || k > 64) return nullptr;
-    Graph g;
+void init_graph(Graph& g, int k, uint64_t n) {
     g.k = k;
     g.hi_bits = k > 32 ? 2 * k - 64 : 0;
     g.hi_mask = g.hi_bits ? ((~0ULL) >> (64 - g.hi_bits)) : 0ULL;
@@ -184,11 +184,15 @@ void* hx_dbg_run(const uint64_t* hi, const uint64_t* lo,
     uint64_t tsize = 16;
     while (tsize < 2 * n + 4) tsize <<= 1;
     g.tmask = tsize - 1;
-    g.keys.resize(tsize);
-    g.counts.resize(tsize);
+    g.keys.assign(tsize, Kmer{0, 0});
+    g.counts.assign(tsize, 0);
     g.occ.assign(tsize, 0);
-    for (uint64_t i = 0; i < n; i++) g.insert({hi[i], lo[i]}, cnt[i]);
+}
 
+// walk maximal non-branching paths (pass-1 order = `live` order, matching
+// the python builder's iteration over its count table) and attach links
+Arena* build_arena(const Graph& g, const std::vector<Entry>& live) {
+    uint64_t n = live.size();
     auto* a = new Arena();
     std::unordered_map<u128, uint8_t, K128Hash> visited;
     visited.reserve(2 * n);
@@ -224,7 +228,7 @@ void* hx_dbg_run(const uint64_t* hi, const uint64_t* lo,
 
     // pass 1: start k-mers, both orientations (input order = python order)
     for (uint64_t i = 0; i < n; i++) {
-        Kmer cv{hi[i], lo[i]};
+        Kmer cv = live[i].km;
         Kmer variants[2] = {cv, g.rc(cv)};
         for (int o = 0; o < 2; o++) {
             if (visited.count(pack(g.canon(variants[o])))) break;
@@ -236,7 +240,7 @@ void* hx_dbg_run(const uint64_t* hi, const uint64_t* lo,
     }
     // pass 2: leftovers are perfect cycles
     for (uint64_t i = 0; i < n; i++) {
-        Kmer cv{hi[i], lo[i]};
+        Kmer cv = live[i].km;
         if (!visited.count(pack(cv))) walk(cv);
     }
 
@@ -294,6 +298,153 @@ void* hx_dbg_run(const uint64_t* hi, const uint64_t* lo,
                 a->links.push_back(sign);
             }
         }
+    }
+    return a;
+}
+
+// simple-bubble detection on the unitig graph (transcribes
+// sr/dbg.py:find_simple_bubbles — same iteration order and the same
+// (km, -uid) weaker-branch tie-break, so the doomed set is identical)
+std::vector<uint32_t> find_bubbles(const Arena& a, int k) {
+    uint32_t nu = (uint32_t)a.kc.size();
+    int64_t max_branch_len = 3 * (int64_t)k;
+    // per-unitig links in arena order: (from_sign, to, to_sign)
+    std::vector<std::vector<std::array<int32_t, 3>>> links(nu);
+    for (size_t i = 0; i + 3 < a.links.size() + 1; i += 4)
+        links[a.links[i]].push_back(
+            {a.links[i + 1], a.links[i + 2], a.links[i + 3]});
+    std::vector<uint8_t> dropped(nu, 0);
+    std::vector<uint32_t> doomed;
+    auto km = [&](uint32_t u) {
+        return (double)a.kc[u] / (double)(a.nk[u] > 0 ? a.nk[u] : 1);
+    };
+    auto seq_len = [&](uint32_t u) {
+        return (int64_t)(a.seq_offsets[u + 1] - a.seq_offsets[u]);
+    };
+    // interior check: entered with orientation ts, one in-link on the
+    // entry side and one out-link on the exit side -> the oriented exit
+    auto interior_exit = [&](int32_t t, int32_t ts, int32_t* eu,
+                             int32_t* es) -> bool {
+        int32_t entry_side = ts == 0 ? 1 : 0;
+        int32_t exit_side = ts;
+        int n_in = 0, n_out = 0;
+        int32_t ou = -1, os = -1;
+        for (auto& L : links[t]) {
+            if (L[0] == entry_side) n_in++;
+            if (L[0] == exit_side) {
+                n_out++;
+                ou = L[1];
+                os = L[2];
+            }
+        }
+        if (n_in != 1 || n_out != 1) return false;
+        *eu = ou;
+        *es = os;
+        return true;
+    };
+    for (uint32_t x = 0; x < nu; x++) {
+        for (int32_t side = 0; side < 2; side++) {
+            int32_t t1 = -1, s1 = -1, t2 = -1, s2 = -1;
+            int n_out = 0;
+            for (auto& L : links[x]) {
+                if (L[0] != side) continue;
+                if (n_out == 0) {
+                    t1 = L[1];
+                    s1 = L[2];
+                } else if (n_out == 1) {
+                    t2 = L[1];
+                    s2 = L[2];
+                }
+                n_out++;
+            }
+            if (n_out != 2) continue;
+            if (t1 == t2 || (int32_t)x == t1 || (int32_t)x == t2) continue;
+            if (dropped[t1] || dropped[t2]) continue;
+            if (seq_len(t1) > max_branch_len || seq_len(t2) > max_branch_len)
+                continue;
+            int32_t e1u, e1s, e2u, e2s;
+            if (!interior_exit(t1, s1, &e1u, &e1s)) continue;
+            if (!interior_exit(t2, s2, &e2u, &e2s)) continue;
+            if (e1u != e2u || e1s != e2s) continue;
+            if (e1u == t1 || e1u == t2 || e1u == (int32_t)x) continue;
+            // drop the weaker branch; tie -> higher uid (deterministic)
+            double km1 = km(t1), km2 = km(t2);
+            uint32_t victim =
+                (km1 < km2 || (km1 == km2 && t1 > t2)) ? t1 : t2;
+            if (!dropped[victim]) {
+                dropped[victim] = 1;
+                doomed.push_back(victim);
+            }
+        }
+    }
+    return doomed;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* hx_dbg_run(const uint64_t* hi, const uint64_t* lo,
+                 const uint32_t* cnt, uint64_t n, int k) {
+    if (k < 2 || k > 64) return nullptr;
+    Graph g;
+    init_graph(g, k, n);
+    std::vector<Entry> live(n);
+    for (uint64_t i = 0; i < n; i++) {
+        live[i] = {Kmer{hi[i], lo[i]}, cnt[i]};
+        g.insert(live[i].km, live[i].cnt);
+    }
+    return build_arena(g, live);
+}
+
+// iterative simple-bubble popping entirely in native code (the python
+// pop_bubbles loop, sr/dbg.py:270-297, rebuilt a dict of ALL solid
+// k-mers every round — ~100 GB of host RAM at CHM1 scale; here the
+// k-mer set lives in flat arrays + an open-addressing table, bounded at
+// ~42 bytes/k-mer): compact -> find bubbles -> delete branch k-mers ->
+// re-compact, until bubble-free or max_rounds.
+void* hx_dbg_pop_run(const uint64_t* hi, const uint64_t* lo,
+                     const uint32_t* cnt, uint64_t n, int k,
+                     int max_rounds) {
+    if (k < 2 || k > 64) return nullptr;
+    std::vector<Entry> live(n);
+    for (uint64_t i = 0; i < n; i++) live[i] = {Kmer{hi[i], lo[i]}, cnt[i]};
+    // python's rebuild() iterates its count table in sorted key order
+    std::sort(live.begin(), live.end(), [](const Entry& a, const Entry& b) {
+        return a.km < b.km;
+    });
+    Graph g;
+    Arena* a = nullptr;
+    auto rebuild = [&]() {
+        init_graph(g, k, live.size());
+        for (auto& e : live) g.insert(e.km, e.cnt);
+        delete a;
+        a = build_arena(g, live);
+    };
+    rebuild();
+    for (int round = 0; round < max_rounds; round++) {
+        std::vector<uint32_t> doomed = find_bubbles(*a, k);
+        if (doomed.empty()) break;
+        // collect the doomed unitigs' canonical k-mers, then filter
+        std::unordered_map<u128, uint8_t, K128Hash> dead;
+        for (uint32_t uid : doomed) {
+            const char* s = a->seqs.data() + a->seq_offsets[uid];
+            int64_t len =
+                (int64_t)(a->seq_offsets[uid + 1] - a->seq_offsets[uid]);
+            Kmer v{0, 0};
+            for (int64_t i = 0; i < len; i++) {
+                int b = s[i] == 'A' ? 0 : s[i] == 'C' ? 1
+                        : s[i] == 'G' ? 2 : 3;
+                v = g.append(v, b);
+                if (i >= k - 1) dead[pack(g.canon(v))] = 1;
+            }
+        }
+        std::vector<Entry> next;
+        next.reserve(live.size());
+        for (auto& e : live)
+            if (!dead.count(pack(e.km))) next.push_back(e);
+        live.swap(next);
+        rebuild();
     }
     return a;
 }

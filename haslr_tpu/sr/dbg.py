@@ -271,7 +271,20 @@ def pop_bubbles(hi, lo, cnt, k: int, native: bool = True,
                 max_rounds: int = 8):
     """Iteratively remove simple-bubble branches from the solid k-mer set
     and re-compact, until the unitig graph is bubble-free (or max_rounds).
-    Returns the simplified unitig list."""
+    Returns the simplified unitig list.
+
+    The whole loop (compact -> detect -> delete k-mers -> re-compact)
+    runs in native code when available: the Python fallback keeps every
+    solid k-mer in a dict and rebuilds it each round, which at CHM1 scale
+    (~10^9 solid k-mers) costs 100+ GB of host RAM; the native path is
+    bounded at ~42 bytes per k-mer in flat arrays (byte-identical
+    output, asserted by tests)."""
+    if native and k <= 64:
+        from haslr_tpu import native as hx_native
+
+        out = hx_native.dbg_unitigs(hi, lo, cnt, k, pop_rounds=max_rounds)
+        if out is not None:
+            return _unitigs_from_native(out)
     counts = {}
     for h, l, c in zip(hi.tolist(), lo.tolist(), cnt.tolist()):
         counts[(int(h) << 64) | int(l)] = int(c)
@@ -327,6 +340,19 @@ def assemble_unitigs(codes_with_seps: np.ndarray, k: int, min_abundance: int,
     return unitigs_from_counts(hi, lo, cnt, k, native=native)
 
 
+def _unitigs_from_native(out) -> list[Unitig]:
+    seqs, kc, nk, links = out
+    unitigs = [
+        Unitig(i, seqs[i], int(kc[i]), 0, 0, [], int(nk[i]))
+        for i in range(len(seqs))
+    ]
+    for fu, fs, tu, ts in links:
+        unitigs[fu].links.append(
+            ("+" if fs == 0 else "-", int(tu), "+" if ts == 0 else "-")
+        )
+    return unitigs
+
+
 def unitigs_from_counts(hi, lo, cnt, k: int,
                         native: bool = True) -> list[Unitig]:
     """Compact a solid-k-mer count table to unitigs (native C++ walker when
@@ -336,15 +362,6 @@ def unitigs_from_counts(hi, lo, cnt, k: int,
 
         out = hx_native.dbg_unitigs(hi, lo, cnt, k)
         if out is not None:
-            seqs, kc, nk, links = out
-            unitigs = [
-                Unitig(i, seqs[i], int(kc[i]), 0, 0, [], int(nk[i]))
-                for i in range(len(seqs))
-            ]
-            for fu, fs, tu, ts in links:
-                unitigs[fu].links.append(
-                    ("+" if fs == 0 else "-", int(tu), "+" if ts == 0 else "-")
-                )
-            return unitigs
+            return _unitigs_from_native(out)
     g = DeBruijnGraph.from_pairs(hi, lo, cnt, k)
     return g.build_unitigs()

@@ -297,15 +297,17 @@ def test_sorted_vote_tables_match_scatter():
         mapping, jnp.asarray(reads), jnp.asarray(r_lens),
         jnp.asarray(win_idx), jnp.asarray(ok), N, S,
     )
-    b = cd._scatter_votes_sorted(
-        mapping, jnp.asarray(reads), jnp.asarray(r_lens),
-        jnp.asarray(win_idx), jnp.asarray(ok), N, S,
-    )
-    names = ["counts", "cov_diff", "ins1", "ins2", "n_reads"]
-    for name, x, y in zip(names, a, b):
-        np.testing.assert_array_equal(
-            np.asarray(x), np.asarray(y), err_msg=name
+    for alt_fn in (cd._scatter_votes_sorted, cd._scatter_votes_packed):
+        b = alt_fn(
+            mapping, jnp.asarray(reads), jnp.asarray(r_lens),
+            jnp.asarray(win_idx), jnp.asarray(ok), N, S,
         )
+        names = ["counts", "cov_diff", "ins1", "ins2", "n_reads"]
+        for name, x, y in zip(names, a, b):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y),
+                err_msg=f"{alt_fn.__name__}:{name}",
+            )
 
     # end-to-end dense engine equality across implementations
     windows = []
@@ -323,6 +325,9 @@ def test_sorted_vote_tables_match_scatter():
         r1 = cd.dense_consensus([list(w) for w in windows])
         cd.VOTE_IMPL = "sort"
         r2 = cd.dense_consensus([list(w) for w in windows])
+        cd.VOTE_IMPL = "packed"
+        r3 = cd.dense_consensus([list(w) for w in windows])
     finally:
         cd.VOTE_IMPL = old
     assert all(np.array_equal(x, y) for x, y in zip(r1, r2))
+    assert all(np.array_equal(x, y) for x, y in zip(r1, r3))

@@ -86,6 +86,40 @@ def test_sharded_dense_consensus_matches_single_device():
     assert single == sharded
 
 
+def test_sharded_aligner_matches_single_device(tmp_path):
+    """map_reads with the aligner's device stage shard_mapped over the dp
+    mesh must write a byte-identical PAF to the single-device run."""
+    from haslr_tpu.aligner.map import map_reads
+    from haslr_tpu.dist.mesh import make_mesh
+    from haslr_tpu.testutil import simulate
+
+    rng = np.random.default_rng(6)
+    genome = simulate.genome_with_repeats(
+        rng, 20_000, n_families=2, copies_per_family=3, repeat_len=300
+    )
+    ctg = str(tmp_path / "ctg.fa")
+    with open(ctg, "w") as fp:
+        for i in range(0, len(genome) - 1500, 1500):
+            fp.write(f">{i // 1500}\n{genome[i:i + 2000]}\n")
+    reads = simulate.make_reads(
+        rng, genome, coverage=4.0, mean_len=6000, error_rate=0.06
+    )
+    lr = str(tmp_path / "lr.fa")
+    with open(lr, "w") as fp:
+        for r in reads:
+            fp.write(f">{r.rid}\n{r.seq}\n")
+    p_single = str(tmp_path / "single.paf")
+    p_shard = str(tmp_path / "shard.paf")
+    n1 = map_reads(ctg, lr, p_single)
+    n2 = map_reads(ctg, lr, p_shard, mesh=make_mesh(8))
+    assert n1 == n2 and n1 > 0
+    with open(p_single, "rb") as f:
+        a = f.read()
+    with open(p_shard, "rb") as f:
+        b = f.read()
+    assert a == b
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as g
 

@@ -70,6 +70,39 @@ def test_kmer_streaming_matches_host(k, min_count, prefix_bits, tmp_path):
     np.testing.assert_array_equal(hc, sc)
 
 
+def test_kmer_streaming_sharded_matches_host():
+    """Phase-2 partition merges sharded over the 8-device mesh (one
+    prefix partition per device, no collective) must be bit-identical to
+    the host counter — the multi-chip k-mer path of SURVEY §2.3."""
+    import jax
+
+    from haslr_tpu.dist.mesh import make_mesh
+    from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    k = 31
+    reads = [
+        rng.integers(0, 4, rng.integers(60, 300)).astype(np.uint8)
+        for _ in range(150)
+    ]
+    reads.append(np.full(70, 3, np.uint8))  # poly-T edge case
+    concat = []
+    for r in reads:
+        concat.append(r)
+        concat.append(np.array([kk.SEP], np.uint8))
+    codes = np.concatenate(concat)
+    hh, hl, hc = kk.count_kmers_host(codes, k, 2)
+    sh, sl, sc = count_kmers_streaming(
+        reads, k, 2, chunk_bases=8192, prefix_bits=3, mesh=mesh
+    )
+    np.testing.assert_array_equal(hh, sh)
+    np.testing.assert_array_equal(hl, sl)
+    np.testing.assert_array_equal(hc, sc)
+
+
 def test_kmer_abundance_filter():
     codes = np.concatenate(
         [cseq.encode("ACGTACGTAC"), [4], cseq.encode("ACGTACGTAC")]
@@ -212,6 +245,70 @@ def test_native_dbg_matches_python():
             assert a.seq == b.seq
             assert a.kc == b.kc and a.kc_positions == b.kc_positions
             assert sorted(a.links) == sorted(b.links)
+
+
+def test_native_pop_bubbles_matches_python():
+    """The fully-native bubble-popping loop (hx_dbg_pop_run) must produce
+    byte-identical unitigs to the Python pop_bubbles path."""
+    from haslr_tpu import native
+    from haslr_tpu.kernels import kmer as kk
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    k = 31
+    genome = _rand_seq(rng, 6000)
+    # three het SNPs + one repeat pair -> several bubbles, surviving repeat
+    var = list(genome)
+    for pos in (900, 2500, 4200):
+        var[pos] = "ACGT"[("ACGT".index(genome[pos]) + 1) % 4]
+    variant = "".join(var)
+    genome2 = genome[:3000] + genome[1000:1400] + genome[3000:]
+    codes = np.concatenate(
+        [cseq.encode(genome2), [4]] * 3 + [cseq.encode(variant), [4]] * 2
+    ).astype(np.uint8)
+    hi, lo, cnt = kk.count_kmers_host(codes, k, 1)
+    py = dbg.pop_bubbles(hi, lo, cnt, k, native=False)
+    nat = dbg.pop_bubbles(hi, lo, cnt, k, native=True)
+    assert len(py) == len(nat) and len(py) > 0
+    for a, b in zip(py, nat):
+        assert a.seq == b.seq
+        assert a.kc == b.kc and a.kc_positions == b.kc_positions
+        assert a.links == b.links
+
+
+def test_native_pop_bubbles_scales_bounded_memory():
+    """10^7 random solid k-mers through the native popping loop in bounded
+    RSS — the CHM1-scale memory contract the Python dict path cannot
+    meet.  Random k-mers form an almost edge-free graph, so this bounds
+    table+walk memory, not bubble logic (covered above)."""
+    import resource
+
+    from haslr_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    from haslr_tpu.kernels.kmer import _revcomp_pair_np
+
+    n = 10_000_000
+    rng = np.random.default_rng(0)
+    k = 31
+    raw = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+    rc_hi, rc_lo = _revcomp_pair_np(np.zeros(n, np.uint64), raw, k)
+    lo = np.unique(np.minimum(raw, rc_lo))
+    hi = np.zeros(len(lo), np.uint64)
+    cnt = rng.integers(1, 50, len(lo)).astype(np.uint32)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out = native.dbg_unitigs(hi, lo, cnt, k, pop_rounds=8)
+    assert out is not None
+    seqs, kc, nk, links = out
+    assert len(seqs) > 0
+    assert int(np.sum(nk)) <= len(lo)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # native tables ~42 B/kmer + arena; allow 6 GB of growth headroom
+    assert rss1 - rss0 < 6 * 1024 * 1024, (
+        f"RSS grew {(rss1 - rss0) / 1024:.0f} MB"
+    )
 
 
 def test_nooverlap(tmp_path):
