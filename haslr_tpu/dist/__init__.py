@@ -21,21 +21,30 @@ from __future__ import annotations
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
+               process_id: int | None = None,
+               timeout_s: int | None = None) -> None:
     """Bring up ``jax.distributed`` for multi-host runs.
 
     All-``None`` arguments auto-detect the cluster environment (TPU pod
-    metadata / SLURM), matching ``jax.distributed.initialize`` semantics.
-    Safe to call in a single-process run: failures to detect a cluster
-    leave JAX in single-process mode.
+    metadata / SLURM), matching ``jax.distributed.initialize`` semantics;
+    detection failures then leave JAX in single-process mode.  With
+    EXPLICIT arguments, errors propagate — a typo'd coordinator address
+    must fail the run, not silently degrade every process to its own
+    single-process world with divergent assemblies.
     """
     import jax
 
+    explicit = coordinator_address is not None or process_id is not None
+    kwargs = {}
+    if timeout_s is not None:
+        kwargs["initialization_timeout"] = timeout_s
     try:
         jax.distributed.initialize(
-            coordinator_address, num_processes, process_id
+            coordinator_address, num_processes, process_id, **kwargs
         )
     except (RuntimeError, ValueError):
+        if explicit:
+            raise
         # already initialized, or no cluster environment detected —
         # single-process mode, mirroring the reference's single-node run
         pass

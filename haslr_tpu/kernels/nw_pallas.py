@@ -81,18 +81,21 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
     sequence read padding/garbage; every such lane is an invalid DP cell
     (``i``/``j`` out of range) and is masked to NEG regardless.
     """
-    # int16 DP lanes when the scores provably fit: |real score| <=
-    # |gap|*(R+D) and the NEG sentinel only ever has one sub/gap added
-    # before being re-clamped, so -20000 leaves ample margin to the int16
-    # range.  Halves the VPU tile count of every arithmetic op in the hot
-    # loop.  Masks are born from int16 compares (lane16/i16/j16) or cast
-    # through int32->int16 arithmetic, never relayouted across tilings.
-    use16 = (R + D) * 8 + 64 < 20000
+    # int16 DP lanes would halve the VPU tile count wherever the scores
+    # provably fit (|real score| <= |gap|*(R+D), sentinel -20000), and the
+    # code below is written dtype-generic for it — but the v5e Mosaic
+    # target rejects every 16-bit building block tried on hardware:
+    # tpu.dynamic_rotate (32-bit only), tpu.iota ("16-bit iota not
+    # supported"), and arith.cmpi on vector<..xi16> ("Target does not
+    # support this comparison").  Keep int32 until the toolchain grows
+    # 16-bit lanes; flipping use16 back on is the only change needed.
+    use16 = False
     sdt = jnp.int16 if use16 else jnp.int32
     neg = jnp.asarray(-20000 if use16 else NEG, sdt)
     inf = jnp.asarray(20000 if use16 else -NEG, sdt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
-    lane_s = jax.lax.broadcasted_iota(sdt, (GROUP, W), 1)
+    # 16-bit iota is not supported by the hardware; cast a 32-bit one
+    lane_s = lane.astype(sdt)
     WIDE = 2 * W
     # roll-edge caps: stored scores are >= neg, so a min() against neg at
     # the wrapped lane pins it exactly (and inf elsewhere is a no-op)
@@ -122,6 +125,16 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
         shift = jnp.mod(aligned - o, WIDE)
         return pltpu.roll(wide, shift, axis=1)[:, :W]
 
+    def rot1l(x):
+        """out[:, k] = x[:, k+1 mod W] — a constant 1-lane shift as a
+        slice+concat (Mosaic's tpu.dynamic_rotate is 32-bit-only, so
+        pltpu.roll cannot carry the int16 score lanes)."""
+        return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+    def rot1r(x):
+        """out[:, k] = x[:, k-1 mod W]."""
+        return jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)
+
     def step(t, carry):
         h_prev2, h_prev1 = carry
         b_t = base_ref[t]
@@ -132,13 +145,13 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
         rb = window(rrev_ref, R - t + b_t, R)
         db = window(dpad_ref, b_t - 1, D)
         # neighbors: up = h1[k+s1], left = h1[k+s1-1], diag = h2[k+s2-1]
-        # with s1 in {0,1} and s2 in {0,1,2} — one roll each way per row
-        h1r = jnp.minimum(pltpu.roll(h_prev1, W - 1, axis=1), cap_last)
-        h1l = jnp.minimum(pltpu.roll(h_prev1, 1, axis=1), cap_first)
+        # with s1 in {0,1} and s2 in {0,1,2} — one lane shift each way
+        h1r = jnp.minimum(rot1l(h_prev1), cap_last)
+        h1l = jnp.minimum(rot1r(h_prev1), cap_first)
         up = jnp.where(s1 == 1, h1r, h_prev1)
         left = jnp.where(s1 == 1, h_prev1, h1l)
-        h2r = jnp.minimum(pltpu.roll(h_prev2, W - 1, axis=1), cap_last)
-        h2l = jnp.minimum(pltpu.roll(h_prev2, 1, axis=1), cap_first)
+        h2r = jnp.minimum(rot1l(h_prev2), cap_last)
+        h2l = jnp.minimum(rot1r(h_prev2), cap_first)
         diag = jnp.where(s2 == 2, h2r, jnp.where(s2 == 0, h2l, h_prev2))
         # int32 compare + select, then a plain cast (no mask relayout)
         sub = jnp.where(rb == db, match, mismatch).astype(sdt)

@@ -30,6 +30,12 @@ import shutil
 import sys
 import tempfile
 
+import jax
+
+# a sitecustomize pre-imports jax on the remote-TPU platform; the env var
+# is a no-op by now, but no backend is initialized yet (see tests/conftest)
+jax.config.update("jax_platforms", "cpu")
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(HERE, "..", ".."))
 
@@ -48,7 +54,17 @@ GOLDEN_ARTIFACTS = [
     "backbone.06.smallbubble.gfa",
     "backbone.06.smallbubble.stat",
     "backbone.branching.log",
+    # final sequence output (poa engine): locks coords + consensus +
+    # stitching byte-for-byte, .ann included (provenance rows,
+    # Assemble.cpp:688-747)
+    "asm.final.fa",
+    "asm.final.ann",
 ]
+
+# the device (dense) engine's final output, pinned separately — its vote
+# semantics differ from exact POA by design, but are equally
+# deterministic (integer arithmetic only, CPU backend in tests)
+GOLDEN_TPU_ARTIFACTS = ["asm.final.fa", "asm.final.ann"]
 
 
 def _chimera(rng, rid, genome, spans, error_rate, contigs):
@@ -200,6 +216,16 @@ def main():
         for name in GOLDEN_ARTIFACTS:
             shutil.copyfile(
                 f"{tmp}/asm/{name}", os.path.join(exp_dir, name)
+            )
+        cfg_tpu = AssembleConfig(consensus_engine="tpu")
+        run_assembler(
+            contig_path, lr_path, paf_path, f"{tmp}/asm_tpu", cfg=cfg_tpu,
+            log=None,
+        )
+        for name in GOLDEN_TPU_ARTIFACTS:
+            shutil.copyfile(
+                f"{tmp}/asm_tpu/{name}",
+                os.path.join(exp_dir, f"tpu.{name}"),
             )
     print(f"golden fixture written: {in_dir} + {exp_dir}")
 

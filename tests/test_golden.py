@@ -17,7 +17,10 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(HERE, "golden"))
 
-from make_golden import GOLDEN_ARTIFACTS  # noqa: E402
+from make_golden import (  # noqa: E402
+    GOLDEN_ARTIFACTS,
+    GOLDEN_TPU_ARTIFACTS,
+)
 
 
 def _gunzip(src, dst):
@@ -51,6 +54,21 @@ def test_stage_artifacts_match_golden(tmp_path):
         if want != got:
             mismatches.append(name)
     assert not mismatches, f"stage artifacts diverged: {mismatches}"
+
+    # the device (dense) engine's final sequences, pinned separately
+    out_tpu = str(tmp_path / "asm_tpu")
+    cfg_tpu = AssembleConfig(consensus_engine="tpu")
+    run_assembler(
+        contig_path, lr_path, paf_path, out_tpu, cfg=cfg_tpu, log=None
+    )
+    for name in GOLDEN_TPU_ARTIFACTS:
+        with open(f"{exp_dir}/tpu.{name}", "rb") as f:
+            want = f.read()
+        with open(f"{out_tpu}/{name}", "rb") as f:
+            got = f.read()
+        if want != got:
+            mismatches.append(f"tpu.{name}")
+    assert not mismatches, f"final outputs diverged: {mismatches}"
 
 
 def test_golden_fixture_exercises_every_cleaning_pass():
