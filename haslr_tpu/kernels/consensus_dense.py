@@ -103,8 +103,6 @@ def _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S):
 
     counts = jnp.zeros((N * S, 4), jnp.int32)
     cov_diff = jnp.zeros(N * (S + 1) + 1, jnp.int32)
-    ins1 = jnp.zeros((N * (S + 1), 4), jnp.int32)
-    ins2 = jnp.zeros((N * (S + 1), 4), jnp.int32)
     n_reads = jnp.zeros(N, jnp.int32)
 
     tgt = jnp.where(aligned, woff[:, None] + m, DUMP)
@@ -140,13 +138,23 @@ def _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S):
     )
     rank = idx - last_start
     row_ok = any_aligned[:, None]
-    sel1 = ins & (rank == 0) & row_ok
-    sel2 = ins & (rank == 1) & row_ok
-    t1 = jnp.where(sel1, woff1[:, None] + anchors + 1, DUMP)
-    t2 = jnp.where(sel2, woff1[:, None] + anchors + 1, DUMP)
-    ins1 = ins1.at[t1.reshape(-1), rbase.reshape(-1)].add(1, mode="drop")
-    ins2 = ins2.at[t2.reshape(-1), rbase.reshape(-1)].add(1, mode="drop")
-    return counts, cov_diff, ins1, ins2, n_reads
+    # ONE scatter for both insertion ranks: cells interleave as
+    # (anchor_slot * 2 + rank); rank-0 and rank-1 positions of a read are
+    # mutually exclusive, so fusing halves the B*S scatter traffic
+    sel12 = ins & (rank <= 1) & row_ok
+    win = win_idx[:, None]
+    t12 = jnp.where(
+        sel12,
+        (win * (S + 1) + jnp.clip(anchors + 1, 0, S)) * 2 + rank,
+        DUMP,
+    )
+    ins12 = (
+        jnp.zeros((N * (S + 1) * 2, 4), jnp.int32)
+        .at[t12.reshape(-1), rbase.reshape(-1)]
+        .add(1, mode="drop")
+        .reshape(N * (S + 1), 2, 4)
+    )
+    return counts, cov_diff, ins12[:, 0], ins12[:, 1], n_reads
 
 
 INVALID_KEY = np.int32(2**31 - 1)
@@ -673,17 +681,17 @@ def _make_sharded_rounds(mesh, N, S, W, rounds, match, mismatch, gap,
             vote_impl=vote_impl,
         )
 
-    # check_vma=False: the NW scan's carry mixes unvarying init values
-    # with dp-varying read rows, which the static VMA checker rejects even
-    # though the computation is sound; the output IS replicated (votes are
-    # psum-merged before any draft update) and dryrun_multichip asserts
-    # bit-equality with the single-device path.
+    # check_vma=True: the NW scan anchors its carries to device-varying
+    # inputs, so the static replication checker verifies the whole round;
+    # the output is replicated because vote tables psum-merge before any
+    # draft update (dryrun_multichip additionally asserts bit-equality
+    # with the single-device path).
     sm = jax.shard_map(
         _step,
         mesh=mesh,
         in_specs=(P(), P(None, "dp"), P()),
         out_specs=P(),
-        check_vma=False,
+        check_vma=True,
     )
     return jax.jit(sm)
 
@@ -758,9 +766,10 @@ def dense_consensus(
         # keeps directions in per-program VMEM scratch, so one call can
         # carry the whole bucket
         if nw.use_pallas_for(32, S, S, W):
-            # directions live in per-program VMEM scratch; the cap here is
-            # XLA/Mosaic compile time, which degrades past ~8k rows
-            max_b = 8192 * n_dev
+            # directions live in per-program VMEM scratch; one dispatch
+            # carries the whole bucket (fewer dispatch chains and padded
+            # shapes; the grid scales freely)
+            max_b = 16384 * n_dev
         else:
             max_b = max(64, n_dev * (1 << 30) // ((2 * S + 1) * W))
         sub: list[list[int]] = [[]]

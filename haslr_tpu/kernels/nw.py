@@ -60,7 +60,10 @@ def _nw_scan_inner(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
     base = jnp.asarray(band_bases(R, D, W))
     lanes = jnp.arange(W, dtype=jnp.int32)
 
-    h_init = jnp.full((B, W), NEG, dtype=jnp.int32)
+    # derive the carries from a (possibly device-varying) input so the
+    # scan types correctly under shard_map's varying-mask analysis
+    zero_b = (r_lens.astype(jnp.int32) * 0)[:, None]
+    h_init = jnp.full((B, W), NEG, dtype=jnp.int32) + zero_b
     h0 = h_init.at[:, 0].set(0)  # t=0: cell (0, 0) at lane 0 (base[0] == 0)
     reads_p = jnp.concatenate(
         [reads, jnp.full((B, 1), 4, dtype=reads.dtype)], axis=1
@@ -227,7 +230,9 @@ def _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
         j = j - (is_diag | is_left)
         return (i, j, mapping), None
 
-    mapping0 = jnp.full((B, R + 1), -1, jnp.int32)
+    mapping0 = jnp.full((B, R + 1), -1, jnp.int32) + (
+        r_lens.astype(jnp.int32) * 0
+    )[:, None]
     (i, j, mapping), _ = jax.lax.scan(
         step,
         (r_lens.astype(jnp.int32), d_lens.astype(jnp.int32), mapping0),
@@ -310,10 +315,8 @@ def align_mapping_device(
 def _make_sharded_align(mesh, R, D, W, match, mismatch, gap, use_pallas):
     """shard_mapped batched align over the mesh's ``dp`` axis: rows are
     independent, so the batch simply splits across devices (no collective)
-    and the mapping comes back row-sharded.  check_vma=False for the same
-    reason as the sharded consensus: the NW scan's carry mixes unvarying
-    inits with dp-varying rows, which the static checker rejects although
-    every output row depends only on its own shard."""
+    and the mapping comes back row-sharded; the scan carries anchor to
+    device-varying inputs so the static VMA checker passes."""
     from jax.sharding import PartitionSpec as P
 
     def _one(reads, r_lens, drafts, d_lens):
@@ -327,7 +330,7 @@ def _make_sharded_align(mesh, R, D, W, match, mismatch, gap, use_pallas):
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=P("dp"),
-        check_vma=False,
+        check_vma=True,
     )
     return jax.jit(sm)
 

@@ -126,14 +126,17 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
         return pltpu.roll(wide, shift, axis=1)[:, :W]
 
     def rot1l(x):
-        """out[:, k] = x[:, k+1 mod W] — a constant 1-lane shift as a
-        slice+concat (Mosaic's tpu.dynamic_rotate is 32-bit-only, so
-        pltpu.roll cannot carry the int16 score lanes)."""
-        return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+        """out[:, k] = x[:, k+1 mod W].  tpu.dynamic_rotate handles only
+        32-bit lanes; int16 falls back to slice+concat."""
+        if use16:
+            return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+        return pltpu.roll(x, W - 1, axis=1)
 
     def rot1r(x):
         """out[:, k] = x[:, k-1 mod W]."""
-        return jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)
+        if use16:
+            return jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)
+        return pltpu.roll(x, 1, axis=1)
 
     def step(t, carry):
         h_prev2, h_prev1 = carry
@@ -170,10 +173,11 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
                 h == cand_u, jnp.asarray(UP, sdt), jnp.asarray(LEFT, sdt)
             ),
         )
-        # i/j in score dtype so the validity mask shares the h layout
+        # i/j in score dtype so the validity mask shares the h layout;
+        # j = b_t + lane >= 0 always, so only three bounds remain
         j_s = jnp.asarray(b_t, sdt) + lane_s
         i_s = jnp.asarray(t, sdt) - j_s
-        valid = (i_s >= 0) & (i_s <= rl_s) & (j_s >= 0) & (j_s <= dl_s)
+        valid = (i_s >= 0) & (i_s <= rl_s) & (j_s <= dl_s)
         h = jnp.where(valid, h, neg)
         dirs_ref[t] = d.astype(jnp.uint8)
         return h_prev1, h
