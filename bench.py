@@ -53,7 +53,12 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N_WINDOWS = 1024
+# 4096 windows saturate the chip: the engine splits them into sub-groups
+# of <= 16384 reads dispatched asynchronously, so the padded shapes (and
+# compiled programs) are IDENTICAL to a 1024-window run while the fixed
+# per-call relay latency amortizes 4x — this measures steady-state
+# throughput, the regime of a real assembly's edge set
+N_WINDOWS = 4096
 N_SUPPORT = 13
 WIN_LEN = 300
 ERROR_RATE = 0.06

@@ -98,17 +98,10 @@ def _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S):
     m = mapping.astype(jnp.int32)
     aligned = (m >= 0) & in_len & ok[:, None]
     rbase = reads.astype(jnp.int32) & 3
-    woff = jnp.where(ok, win_idx * S, DUMP)
     woff1 = jnp.where(ok, win_idx * (S + 1), DUMP)
 
-    counts = jnp.zeros((N * S, 4), jnp.int32)
     cov_diff = jnp.zeros(N * (S + 1) + 1, jnp.int32)
     n_reads = jnp.zeros(N, jnp.int32)
-
-    tgt = jnp.where(aligned, woff[:, None] + m, DUMP)
-    counts = counts.at[tgt.reshape(-1), rbase.reshape(-1)].add(
-        1, mode="drop"
-    )
 
     any_aligned = aligned.any(axis=1)
     big = jnp.where(aligned, m, jnp.int32(1 << 29))
@@ -138,23 +131,32 @@ def _scatter_votes(mapping, reads, r_lens, win_idx, ok, N, S):
     )
     rank = idx - last_start
     row_ok = any_aligned[:, None]
-    # ONE scatter for both insertion ranks: cells interleave as
-    # (anchor_slot * 2 + rank); rank-0 and rank-1 positions of a read are
-    # mutually exclusive, so fusing halves the B*S scatter traffic
+    # ONE scatter builds base counts AND both insertion ranks: a read
+    # position is EITHER an aligned base vote OR a (rank<=1) insertion
+    # vote OR nothing, so the three original B*S scatters collapse into
+    # one over a combined per-window table laid out as
+    # [counts (S rows) | ins (S+1 rows x 2 ranks)], stride 3S+2 rows
     sel12 = ins & (rank <= 1) & row_ok
     win = win_idx[:, None]
-    t12 = jnp.where(
-        sel12,
-        (win * (S + 1) + jnp.clip(anchors + 1, 0, S)) * 2 + rank,
-        DUMP,
+    stride = 3 * S + 2
+    cell_cnt = win * stride + m
+    cell_ins = (
+        win * stride + S + jnp.clip(anchors + 1, 0, S) * 2 + rank
     )
-    ins12 = (
-        jnp.zeros((N * (S + 1) * 2, 4), jnp.int32)
-        .at[t12.reshape(-1), rbase.reshape(-1)]
+    cell = jnp.where(
+        aligned, cell_cnt, jnp.where(sel12, cell_ins, DUMP)
+    )
+    table = (
+        jnp.zeros((N * stride, 4), jnp.int32)
+        .at[cell.reshape(-1), rbase.reshape(-1)]
         .add(1, mode="drop")
-        .reshape(N * (S + 1), 2, 4)
+        .reshape(N, stride, 4)
     )
-    return counts, cov_diff, ins12[:, 0], ins12[:, 1], n_reads
+    counts = table[:, :S].reshape(N * S, 4)
+    ins12 = table[:, S:].reshape(N, S + 1, 2, 4)
+    ins1 = ins12[:, :, 0].reshape(N * (S + 1), 4)
+    ins2 = ins12[:, :, 1].reshape(N * (S + 1), 4)
+    return counts, cov_diff, ins1, ins2, n_reads
 
 
 INVALID_KEY = np.int32(2**31 - 1)
@@ -852,14 +854,24 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
                 pairs.append((len(c), li, c))
             elif len(c) > S:
                 n_skipped_long += 1  # cannot band-fit any draft <= S
-    # sort reads by length so each Pallas GROUP of 32 gets a tight t_max
-    pairs.sort(key=lambda p: p[0])
-    for ln, li, c in pairs:
-        read_off.append(flat_len)
-        flat_parts.append(c)
-        flat_len += ln
-        r_lens.append(ln)
-        win_idx.append(li)
+    # sort reads by length so each Pallas GROUP gets a tight t_max;
+    # offsets/ids assemble vectorized (this pack runs per dispatch on the
+    # host, overlapped with the previous chain's device work)
+    if pairs:
+        lens_a = np.fromiter(
+            (p[0] for p in pairs), np.int64, count=len(pairs)
+        )
+        order = np.argsort(lens_a, kind="stable")
+        r_lens_a = lens_a[order]
+        win_idx_a = np.fromiter(
+            (p[1] for p in pairs), np.int64, count=len(pairs)
+        )[order]
+        read_off_a = flat_len + np.concatenate(
+            [[0], np.cumsum(r_lens_a[:-1])]
+        )
+        flat_len += int(r_lens_a.sum())
+        flat_parts.extend(pairs[k][2] for k in order)
+        read_off, r_lens, win_idx = read_off_a, r_lens_a, win_idx_a
 
     # the Pallas kernel groups 32 reads per program; the scan fallback has
     # no such constraint and its direction tensor scales with B, so pad

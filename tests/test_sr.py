@@ -311,6 +311,67 @@ def test_native_pop_bubbles_scales_bounded_memory():
     )
 
 
+def test_sr_stage_minia_parity_on_het_input(tmp_path):
+    """minia-parity evidence for the SR stage on a heterozygous input at
+    realistic coverage variance: the contig set's statistics must look
+    like what the downstream anchors expect (Contig.cpp:43-117,
+    calc_uniq_freq Contig.cpp:162-174) — het SNP bubbles popped, km
+    distribution centered on the per-haplotype+shared coverage, and the
+    top-20 uniq-freq estimate usable by the PAF filters."""
+    rng = np.random.default_rng(21)
+    genome = _rand_seq(rng, 120_000)
+    # diploid: ~1 het SNP per 1000 bp on haplotype B
+    var = list(genome)
+    n_snp = 0
+    for pos in range(500, len(genome) - 500, 1000):
+        p = pos + int(rng.integers(-300, 300))
+        var[p] = "ACGT"[("ACGT".index(genome[p]) + 1) % 4]
+        n_snp += 1
+    variant = "".join(var)
+    # 2 x ~22x haplotype coverage (Poisson start sampling gives realistic
+    # per-base variance), 0.2% substitution errors
+    reads = simulate.make_short_reads(rng, genome, coverage=22.0)
+    reads += simulate.make_short_reads(rng, variant, coverage=22.0)
+    rp = str(tmp_path / "sr.fq")
+    simulate.write_short_reads(rp, reads)
+    out = str(tmp_path / "contigs.fa")
+    k = 49
+    n = assemble_short_reads([rp], out, kmer_size=k, min_abundance=3,
+                             device=False)
+    recs = list(cio.read_fastx(out))
+    assert len(recs) == n
+    lens = sorted((len(r.seq) for r in recs), reverse=True)
+    total = sum(lens)
+    # het bubbles popped -> contigs cover ~one haplotype's length, not two
+    assert 0.9 * len(genome) < total < 1.25 * len(genome), total
+    # contiguity: N50 far above the k-mer scale (bubbles broke nothing)
+    acc = 0
+    n50 = 0
+    for L in lens:
+        acc += L
+        if acc >= total / 2:
+            n50 = L
+            break
+    assert n50 > 20 * k, n50
+    # km distribution: long contigs (shared sequence) sit near 2x22x
+    # k-mer coverage; downstream's uniq-freq estimate (mean km of the 20
+    # longest, Contig.cpp:162-174) must land in the same regime so the
+    # "unique anchor" PAF filter keeps real anchors
+    kms = {}
+    for r in recs:
+        for f in r.comment.split():
+            if f.startswith("km:f:"):
+                kms[r.name] = float(f[5:])
+    expect = 2 * 22.0 * (150 - k + 1) / 150  # k-mer coverage, both haps
+    top20 = sorted(recs, key=lambda r: -len(r.seq))[:20]
+    uniq_freq = float(np.mean([kms[r.name] for r in top20]))
+    assert 0.6 * expect < uniq_freq < 1.3 * expect, (uniq_freq, expect)
+    # the anchors the backbone will use (>= 250 bp, the min-src filter)
+    # must dominate the assembly
+    big = sum(L for L in lens if L >= 250)
+    assert big > 0.95 * total
+
+
 def test_nooverlap(tmp_path):
     p = tmp_path / "u.fa"
     p.write_text(
