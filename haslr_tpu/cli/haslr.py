@@ -68,6 +68,15 @@ def prepare_lrs(cfg: PipelineConfig) -> str:
     return lr_file
 
 
+def _get_mesh(cfg: PipelineConfig):
+    """The dp mesh the TPU stages shard over (None = single device)."""
+    if cfg.devices == 1:
+        return None
+    from haslr_tpu.dist.mesh import make_mesh
+
+    return make_mesh(None if cfg.devices == 0 else cfg.devices)
+
+
 def assemble_srs(cfg: PipelineConfig) -> str:
     from haslr_tpu.sr.assemble_sr import assemble_short_reads
 
@@ -80,6 +89,7 @@ def assemble_srs(cfg: PipelineConfig) -> str:
             kmer_size=cfg.minia_kmer,
             min_abundance=cfg.minia_solid,
             asm_type=cfg.minia_asm,
+            mesh=_get_mesh(cfg),
         )
         _done()
     else:
@@ -127,7 +137,8 @@ def align_lr_src(cfg: PipelineConfig, lr_file: str, src_file: str) -> str:
     _stamp("aligning long reads to short read assembly... ")
     if not os.path.isfile(paf):
         map_reads(
-            src_file, lr_file, paf, read_type=cfg.type, threads=cfg.threads
+            src_file, lr_file, paf, read_type=cfg.type,
+            threads=cfg.threads, mesh=_get_mesh(cfg),
         )
         _done()
     else:
@@ -150,7 +161,7 @@ def assemble_lr(cfg: PipelineConfig, lr_file: str, src_file: str,
         with open(asm_dir + ".err", "w") as err:
             run_assembler(
                 src_file, lr_file, paf, asm_dir,
-                cfg=cfg.assemble_config(), log=err,
+                cfg=cfg.assemble_config(), log=err, mesh=_get_mesh(cfg),
             )
         _done()
     else:
@@ -223,6 +234,11 @@ def parse_options(argv=None) -> PipelineConfig:
         "--platform", default="auto", choices=["auto", "cpu"],
         help="force JAX onto local CPU (auto = default device, e.g. TPU)",
     )
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="device-mesh width for the TPU stages (k-mer merge, aligner"
+             " extension, consensus); 0 = all visible devices",
+    )
     a = p.parse_args(argv)
     if a.platform == "cpu":
         import jax
@@ -259,6 +275,7 @@ def parse_options(argv=None) -> PipelineConfig:
         minia_solid=a.minia_solid,
         minia_asm=a.minia_asm,
         min_src=a.min_src,
+        devices=a.devices,
     )
 
 

@@ -88,6 +88,9 @@ class PipelineConfig:
     min_src: int = 250
     short_fofn: bool = False
     long_fofn: bool = False
+    # device-mesh width for the TPU stages (k-mer merge, aligner
+    # extension, consensus); 1 = single device, 0 = all visible devices
+    devices: int = 1
 
     def assemble_config(self) -> AssembleConfig:
         return AssembleConfig(

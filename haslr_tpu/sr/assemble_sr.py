@@ -112,18 +112,20 @@ def assemble_short_reads(
     device: bool = True,
     streaming: bool | None = None,
     spill_dir: str | None = None,
+    mesh=None,
 ) -> int:
     if streaming is None:
         import os
 
         total = sum(os.path.getsize(p) for p in read_paths)
-        streaming = device and total > STREAMING_THRESHOLD
+        streaming = device and (total > STREAMING_THRESHOLD
+                                or mesh is not None)
     if streaming:
         from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
 
         hi, lo, cnt = count_kmers_streaming(
             iter_read_codes(read_paths), kmer_size, min_abundance,
-            spill_dir=spill_dir,
+            spill_dir=spill_dir, mesh=mesh,
         )
     else:
         from haslr_tpu.kernels import kmer as kk

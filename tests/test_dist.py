@@ -120,6 +120,44 @@ def test_sharded_aligner_matches_single_device(tmp_path):
     assert a == b
 
 
+def test_cli_devices_flag_byte_identical(tmp_path):
+    """The full CLI pipeline with --devices 8 (k-mer merge, aligner
+    extension and consensus all sharded over the mesh) must write a
+    byte-identical final assembly to the single-device run."""
+    from haslr_tpu.cli.haslr import main as cli_main
+    from haslr_tpu.testutil import simulate
+
+    rng = np.random.default_rng(12)
+    genome = simulate.genome_with_repeats(
+        rng, 30_000, n_families=2, copies_per_family=4, repeat_len=400
+    )
+    srs = simulate.make_short_reads(rng, genome, coverage=45.0)
+    sr = str(tmp_path / "sr.fq")
+    simulate.write_short_reads(sr, srs)
+    lrs = simulate.make_reads(
+        rng, genome, coverage=18.0, mean_len=8000, error_rate=0.05
+    )
+    lr = str(tmp_path / "lr.fa")
+    with open(lr, "w") as fp:
+        for r in lrs:
+            fp.write(f">sim{r.rid}\n{r.seq}\n")
+
+    import glob
+
+    outs = []
+    for tag, extra in [("one", []), ("mesh", ["--devices", "8"])]:
+        out = str(tmp_path / tag)
+        rc = cli_main(
+            ["-o", out, "-g", "30k", "-l", lr, "-x", "pacbio", "-s", sr]
+            + extra
+        )
+        assert rc == 0
+        final = glob.glob(f"{out}/asm_*/asm.final.fa")[0]
+        with open(final, "rb") as f:
+            outs.append(f.read())
+    assert outs[0] == outs[1] and len(outs[0]) > 20_000
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as g
 
