@@ -278,11 +278,26 @@ def count_kmers_streaming(
         cnts.append(counts)
 
     if mesh is None:
-        for pid in range(n_parts):
-            rows = store.take(pid)
+        # batch CONSECUTIVE partitions into one device sort per ~group_rows
+        # rows: partition p's k-mers all precede partition p+1's, so a
+        # joint sort of a prefix-contiguous group emits the same globally
+        # sorted stream while the relay round-trips (and the compiled mp
+        # shape census) drop from n_parts to a handful
+        group_rows = 1 << 23
+        pending_rows: list[np.ndarray] = []
+        pending_m = 0
+
+        def merge_pending():
+            nonlocal pending_rows, pending_m
+            if pending_m == 0:
+                return
+            rows = (
+                pending_rows[0]
+                if len(pending_rows) == 1
+                else np.concatenate(pending_rows, axis=1)
+            )
+            pending_rows, pending_m = [], 0
             m = rows.shape[1]
-            if m == 0:
-                continue
             mp = _pow2(m, 1024)
             padded = np.full((n_words + 1, mp), FULL, np.uint32)
             padded[:, :m] = rows
@@ -292,6 +307,16 @@ def count_kmers_streaming(
                 min_count,
             )
             emit(out_words, out_counts, int(n_keep))
+
+        for pid in range(n_parts):
+            rows = store.take(pid)
+            if rows.shape[1] == 0:
+                continue
+            if pending_m and pending_m + rows.shape[1] > group_rows:
+                merge_pending()
+            pending_rows.append(rows)
+            pending_m += rows.shape[1]
+        merge_pending()
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

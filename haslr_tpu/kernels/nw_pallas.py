@@ -44,6 +44,11 @@ DIRS_VMEM_BUDGET = 10 << 20
 # debug switch (trace time): skip the in-kernel traceback to measure the
 # DP phase alone — the mapping output is then meaningless
 TB_SKIP = False
+# unroll factors for the DP / traceback fori loops (trace-time): >1
+# amortizes Mosaic's per-iteration control overhead over several
+# anti-diagonals at the cost of code size
+DP_UNROLL = 1
+TB_UNROLL = 1
 
 
 def group_for(R: int, D: int, W: int) -> int:
@@ -182,7 +187,10 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
         dirs_ref[t] = d.astype(jnp.uint8)
         return h_prev1, h
 
-    jax.lax.fori_loop(1, t_hi + 1, step, (h_init, h0), unroll=False)
+    jax.lax.fori_loop(
+        1, t_hi + 1, step, (h_init, h0),
+        unroll=DP_UNROLL if DP_UNROLL > 1 else False,
+    )
 
 
 def _kernel(base_ref, rrev_ref, dpad_ref, rlen_ref, dlen_ref, dirs_ref,
@@ -244,7 +252,8 @@ def _fused_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
         map_ref[:] = mapping0
         return
     _, _, mapping = jax.lax.fori_loop(
-        0, t_max, tb_step, (rl, dl, mapping0), unroll=False
+        0, t_max, tb_step, (rl, dl, mapping0),
+        unroll=TB_UNROLL if TB_UNROLL > 1 else False,
     )
     map_ref[:] = mapping
 
