@@ -84,10 +84,20 @@ def _count_chunk(packed, offsets, k, min_count, n_off_pad):
                 jax.lax.dynamic_slice(codes, (j,), (m,)) & three
             )
         words.append(w)
+    # a k-mer starting at i is valid iff no read boundary falls strictly
+    # inside (i, i+k) and i+k is within the real data.  searchsorted would
+    # binary-search all m positions (17 gather passes of m elements — TPU
+    # gathers are per-element and dominated the chunk kernel); a boundary-
+    # flag cumsum gives the same mask with one tiny scatter, one scan and
+    # two contiguous slices
+    total = offsets[n_off_pad - 1]
+    flags = jnp.zeros(n, jnp.int32).at[
+        jnp.clip(offsets, 0, n - 1)
+    ].set(1, mode="drop")
+    csum = jnp.cumsum(flags)
     i = jnp.arange(m, dtype=jnp.int32)
-    nxt = jnp.searchsorted(offsets, i, side="right")
-    bound = offsets[jnp.clip(nxt, 0, n_off_pad - 1)]
-    valid = (bound >= i + k) & (nxt < n_off_pad)
+    inner = jax.lax.dynamic_slice(csum, (k - 1,), (m,)) - csum[:m]
+    valid = (inner == 0) & (i + k <= total)
     canon = _canonical_words(words, spans)
     canon = [jnp.where(valid, w, FULL) for w in canon]
     sorted_words = jax.lax.sort(tuple(canon), num_keys=len(canon))
@@ -218,8 +228,30 @@ def count_kmers_streaming(
     store = _PartitionStore(n_parts, n_words, spill_dir)
 
     # ---- phase 1: distribute ------------------------------------------
+    # flush() only DISPATCHES the chunk kernel; results are collected
+    # later (bounded in-flight queue) so the host-side read streaming and
+    # 2-bit packing of the next chunk overlap the device sort of the
+    # previous one instead of serializing on the relay round trip
     buf: list[np.ndarray] = []
     buf_len = 0
+    in_flight: list[tuple] = []
+
+    def collect_one():
+        out_words, out_counts, n_keep = in_flight.pop(0)
+        nk = int(n_keep)
+        if nk == 0:
+            return
+        rows = np.stack(
+            [np.asarray(w[:nk]) for w in out_words]
+            + [np.asarray(out_counts[:nk]).astype(np.uint32)]
+        )
+        # split the sorted rows by prefix (contiguous ranges)
+        pids = rows[0] >> shift
+        bounds = np.searchsorted(pids, np.arange(n_parts + 1))
+        for pid in range(n_parts):
+            lo_i, hi_i = bounds[pid], bounds[pid + 1]
+            if hi_i > lo_i:
+                store.add(pid, rows[:, lo_i:hi_i])
 
     def flush():
         nonlocal buf, buf_len
@@ -237,32 +269,25 @@ def count_kmers_streaming(
         n_off = _pow2(len(offsets), 64)
         off_pad = np.full(n_off, offsets[-1], np.int32)
         off_pad[: len(offsets)] = offsets
-        out_words, out_counts, n_keep = _count_chunk(
+        in_flight.append(_count_chunk(
             jnp.asarray(packed), jnp.asarray(off_pad), k, 1, n_off
-        )
-        nk = int(n_keep)
-        if nk == 0:
-            return
-        rows = np.stack(
-            [np.asarray(w[:nk]) for w in out_words]
-            + [np.asarray(out_counts[:nk]).astype(np.uint32)]
-        )
-        # split the sorted rows by prefix (contiguous ranges)
-        pids = rows[0] >> shift
-        bounds = np.searchsorted(pids, np.arange(n_parts + 1))
-        for pid in range(n_parts):
-            lo_i, hi_i = bounds[pid], bounds[pid + 1]
-            if hi_i > lo_i:
-                store.add(pid, rows[:, lo_i:hi_i])
+        ))
+        while len(in_flight) > 2:
+            collect_one()
 
     for codes in reads:
         if len(codes) < k:
             continue
+        # flush BEFORE the read that would overflow: a chunk that lands
+        # just past chunk_bases pads to the NEXT power of two, making
+        # half the device sort slots garbage (2x the sort cost)
+        if buf_len and buf_len + len(codes) + 4 > chunk_bases:
+            flush()
         buf.append(np.asarray(codes, np.uint8))
         buf_len += len(codes)
-        if buf_len >= chunk_bases:
-            flush()
     flush()
+    while in_flight:
+        collect_one()
 
     # ---- phase 2: per-partition merge ---------------------------------
     his, los, cnts = [], [], []
