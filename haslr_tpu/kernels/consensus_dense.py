@@ -75,13 +75,19 @@ def _pad_shape(n: int, floor: int) -> int:
 
 
 def _unpack_rows(flat, offsets, lens, S):
-    """Gather ragged rows out of the flat code array into (n, S) uint8,
-    padded with 4 (the non-base sentinel)."""
+    """Gather ragged rows out of the 2-BIT-PACKED flat code array into
+    (n, S) uint8, padded with 4 (the non-base sentinel).
+
+    ``flat`` holds 4 codes/byte LSB-first (``kmer_stream.pack2`` layout);
+    packing quarters the host->device transfer, which at the relay's
+    ~40 MB/s used to cost ~0.3 s per bench run for the uint8 layout.  The
+    gather count is unchanged — only the byte index and a shift differ."""
     col = jnp.arange(S, dtype=jnp.int32)[None, :]
     idx = offsets[:, None] + col
     valid = col < lens[:, None]
-    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
-    vals = flat[idx]
+    idx = jnp.clip(idx, 0, flat.shape[0] * 4 - 1)
+    byte = flat[idx >> 2]
+    vals = (byte >> ((idx & 3).astype(jnp.uint8) << 1)) & 3
     return jnp.where(valid, vals, jnp.uint8(4))
 
 
@@ -900,6 +906,10 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
     dl = np.zeros(N, np.int32)
     do[: len(win_list)] = draft_off
     dl[: len(win_list)] = d_lens0
+
+    from haslr_tpu.kernels.kmer_stream import pack2
+
+    flat = pack2(flat)
 
     _prof("pack", _time.time() - _t0)
     _t0 = _time.time()
