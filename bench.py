@@ -122,13 +122,21 @@ def _run_baseline(windows, out):
 
 
 def check_pallas_vs_scan():
-    """On-chip equivalence of the Mosaic kernel and the XLA scan path."""
+    """On-chip equivalence of the Mosaic kernels and the XLA scan path:
+    the fused mapping kernel bit-equals the scan traceback, and the
+    vote-plane kernel + MXU matmul reduction bit-equals the mapping +
+    scatter vote tables."""
+    import jax.numpy as jnp
+
+    from haslr_tpu.kernels import consensus_dense as cd
     from haslr_tpu.kernels import nw
+    from haslr_tpu.kernels.nw_pallas import nw_votes_pallas
 
     if jax.devices()[0].platform == "cpu":
         return None
     rng = np.random.default_rng(7)
     B, S, W = 64, 512, 128
+    N = 16
     reads = rng.integers(0, 4, (B, S)).astype(np.uint8)
     drafts = reads.copy()
     for b in range(B):
@@ -144,7 +152,22 @@ def check_pallas_vs_scan():
     )
     m_pallas = np.asarray(nw._align_mapping(*args, True))
     m_scan = np.asarray(nw._align_mapping(*args, False))
-    return bool(np.array_equal(m_pallas, m_scan))
+    if not np.array_equal(m_pallas, m_scan):
+        return False
+    win_idx = jnp.asarray(rng.integers(0, N, B).astype(np.int32))
+    ok = jnp.asarray(
+        np.abs(r_lens - d_lens) < W // 2 - 4
+    )
+    ref = cd._scatter_votes(
+        jnp.asarray(m_scan), jnp.asarray(reads), jnp.asarray(r_lens),
+        win_idx, ok, N, S,
+    )
+    planes, stats = nw_votes_pallas(*args)
+    got = cd._kernel_vote_tables(planes, stats, win_idx, ok, N, S)
+    return all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(ref, got)
+    )
 
 
 def bench_kmer_rate(n_reads=32_000, n_batches=2):
@@ -161,8 +184,9 @@ def bench_kmer_rate(n_reads=32_000, n_batches=2):
             r for r in rng.integers(0, 4, (n_reads, read_len), dtype=np.uint8)
         ]
 
-    warm = batch()[: max(16, n_reads // 16)]
-    count_kmers_streaming(iter(warm), 49, 2)  # compile all chunk shapes
+    # warm with a FULL batch: the chunk kernel compiles per padded shape,
+    # so a smaller warm-up would leave the measured shape cold
+    count_kmers_streaming(iter(batch()), 49, 2)
     reads = [batch() for _ in range(n_batches)]
     total = sum(len(b) * read_len for b in reads)
     t0 = time.time()

@@ -398,6 +398,63 @@ _SCATTER_IMPLS = {
 }
 
 
+def _kernel_vote_tables(planes, stats, win_idx, ok, N, S):
+    """Per-window vote tables from the vote-plane kernel's outputs.
+
+    ``planes``/``stats`` come from :func:`nw_pallas.nw_votes_pallas`
+    (per-read draft-indexed vote planes, no collisions).  The reduction
+    to per-window tables is a segment-matrix matmul on the MXU: seg
+    (N, B) int8 selects each window's (band-compatible, aligned) reads,
+    onehot (B, C) int8 expands the planes over the 4 bases, and one
+    int8 x int8 -> int32 ``dot_general`` yields every count at once —
+    no scatter anywhere (the XLA scatter-add this replaces measured
+    ~55 ms per 8192-read round; the matmul is ~2e11 int8 MACs at B=16k,
+    sub-ms on the MXU).  Table semantics identical to
+    :func:`_scatter_votes` (tested equal).  The O(B) coverage-span and
+    read-count scatters remain."""
+    B = planes.shape[0]
+    DQ = S + 128
+    plane_b = planes[:, :S]
+    plane_a = planes[:, S : S + S + 1]
+    plane_a2 = planes[:, S + DQ : S + DQ + S + 1]
+    jmin = stats[:, 0]
+    jmax = stats[:, 1]
+    any_aligned = jmax >= 0
+    rows_ok = ok & any_aligned
+
+    def onehot(plane):
+        w = plane.shape[1]
+        return (
+            plane[:, :, None] == jnp.arange(4, dtype=plane.dtype)
+        ).astype(jnp.int8).reshape(B, w * 4)
+
+    oh = jnp.concatenate(
+        [onehot(plane_b), onehot(plane_a), onehot(plane_a2)], axis=1
+    )
+    seg = (
+        (win_idx[None, :] == jnp.arange(N, dtype=jnp.int32)[:, None])
+        & rows_ok[None, :]
+    ).astype(jnp.int8)
+    tables = jax.lax.dot_general(
+        seg, oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    counts = tables[:, : 4 * S].reshape(N * S, 4)
+    ins1 = tables[:, 4 * S : 8 * S + 4].reshape(N * (S + 1), 4)
+    ins2 = tables[:, 8 * S + 4 :].reshape(N * (S + 1), 4)
+
+    woff1 = jnp.where(rows_ok, win_idx * (S + 1), DUMP)
+    cov_diff = jnp.zeros(N * (S + 1) + 1, jnp.int32)
+    start_t = jnp.where(rows_ok, woff1 + jmin, DUMP)
+    end_t = jnp.where(rows_ok, woff1 + jmax + 1, DUMP)
+    cov_diff = cov_diff.at[start_t].add(1, mode="drop")
+    cov_diff = cov_diff.at[end_t].add(-1, mode="drop")
+    n_reads = jnp.zeros(N, jnp.int32).at[
+        jnp.where(rows_ok, win_idx, DUMP)
+    ].add(1, mode="drop")
+    return counts, cov_diff, ins1, ins2, n_reads
+
+
 def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
                   N, S):
     """Dense majority vote + on-device draft compaction.
@@ -527,12 +584,20 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
         if axis is not None:
             drop_r = jax.lax.psum(drop_r, axis)
         dropped = jnp.maximum(dropped, drop_r)
-        mapping = _align_mapping_inner(
-            reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
-            use_pallas,
-        )
-        scatter_fn = _SCATTER_IMPLS[vote_impl]
-        tables = scatter_fn(mapping, reads, r_lens, win_idx, ok, N, S)
+        if use_pallas:
+            from haslr_tpu.kernels.nw_pallas import nw_votes_pallas
+
+            planes, stats = nw_votes_pallas(
+                reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap
+            )
+            tables = _kernel_vote_tables(planes, stats, win_idx, ok, N, S)
+        else:
+            mapping = _align_mapping_inner(
+                reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
+                use_pallas,
+            )
+            scatter_fn = _SCATTER_IMPLS[vote_impl]
+            tables = scatter_fn(mapping, reads, r_lens, win_idx, ok, N, S)
         if axis is not None:
             tables = jax.lax.psum(tables, axis)
         drafts, d_lens, total_keep = _vote_compact(
@@ -627,6 +692,19 @@ def _vote_round(mapping, reads, r_lens, win_idx, ok, drafts, d_lens,
 
 
 @jax.jit
+def _vote_round_planes(planes, stats, win_idx, ok, drafts, d_lens,
+                       overflow):
+    """One vote round from the vote-plane kernel's outputs (MXU matmul
+    reduction instead of the scatter-add — see _kernel_vote_tables)."""
+    N, S = drafts.shape
+    tables = _kernel_vote_tables(planes, stats, win_idx, ok, N, S)
+    drafts, d_lens, total_keep = _vote_compact(
+        *tables, drafts, d_lens, N, S
+    )
+    return drafts, d_lens, jnp.maximum(overflow, total_keep - S)
+
+
+@jax.jit
 def _pack_out(drafts, d_lens, overflow, dropped):
     """Pack final drafts 2-bit + int32 tail (same layout as the fused
     sharded program's output) for a single device->host transfer."""
@@ -647,11 +725,49 @@ def _pack_out(drafts, d_lens, overflow, dropped):
     return jnp.concatenate([packed.reshape(-1), tail])
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _dense_rounds_fused(flat, meta, N, S, W, rounds, match, mismatch, gap,
+                        use_pallas, vote_impl):
+    """Whole multi-round bucket consensus as ONE compiled program.
+
+    On this machine every jit dispatch through the TPU relay costs
+    ~40 ms regardless of size (measured: each split stage of the round
+    chain executes in ~1 ms once resident, yet a 10-dispatch chain takes
+    ~390 ms wall).  One fused program per bucket makes the dispatch
+    overhead per BATCH, not per stage.  The round-2 objection to fusion
+    (a >16-minute remote compile) died with the XLA vote scatter: with
+    the vote-plane kernel + MXU matmul reduction the fused program is
+    two pallas calls plus small glue."""
+    B = (meta.shape[0] - 2 * N) // 3
+    read_off = meta[:B]
+    r_lens = meta[B : 2 * B]
+    win_idx = meta[2 * B : 3 * B]
+    draft_off = meta[3 * B : 3 * B + N]
+    d_lens = meta[3 * B + N :]
+    return _rounds_impl(
+        flat, read_off, r_lens, win_idx, draft_off, d_lens,
+        N, S, W, rounds, match, mismatch, gap, use_pallas,
+        axis=None, vote_impl=vote_impl,
+    )
+
+
 def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap,
                   vote_impl="scatter"):
-    """Single-device multi-round consensus for one bucket: a Python loop
-    over the split jit stages; every intermediate stays on device and all
-    dispatches are async (the caller materializes the packed output)."""
+    """Single-device multi-round consensus for one bucket (one fused
+    dispatch; the caller materializes the packed output)."""
+    B = (meta.shape[0] - 2 * N) // 3
+    use_pallas = nw.use_pallas_for(B, S, S, W)
+    return _dense_rounds_fused(
+        jnp.asarray(flat), jnp.asarray(meta), N, S, W, rounds, match,
+        mismatch, gap, use_pallas, vote_impl,
+    )
+
+
+def _dense_rounds_split(flat, meta, N, S, W, rounds, match, mismatch, gap,
+                        vote_impl="scatter"):
+    """The split-stage variant of :func:`_dense_rounds` (one jit per
+    stage, chained over device-resident arrays).  Kept as a fallback
+    measurement point; production uses the fused program."""
     B = (meta.shape[0] - 2 * N) // 3
     use_pallas = nw.use_pallas_for(B, S, S, W)
     flat = jnp.asarray(flat)
@@ -663,14 +779,24 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap,
         dr_r, dl_r, ok, dropped = _round_inputs(
             drafts, d_lens, win_idx, r_lens, dropped, W
         )
-        mapping = nw._align_mapping(
-            reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
-            use_pallas,
-        )
-        drafts, d_lens, overflow = _vote_round(
-            mapping, reads, r_lens, win_idx, ok, drafts, d_lens,
-            overflow, vote_impl,
-        )
+        if use_pallas:
+            from haslr_tpu.kernels.nw_pallas import nw_votes_pallas
+
+            planes, stats = nw_votes_pallas(
+                reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap
+            )
+            drafts, d_lens, overflow = _vote_round_planes(
+                planes, stats, win_idx, ok, drafts, d_lens, overflow
+            )
+        else:
+            mapping = nw._align_mapping(
+                reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
+                use_pallas,
+            )
+            drafts, d_lens, overflow = _vote_round(
+                mapping, reads, r_lens, win_idx, ok, drafts, d_lens,
+                overflow, vote_impl,
+            )
     return _pack_out(drafts, d_lens, overflow, dropped)
 
 
@@ -776,8 +902,9 @@ def dense_consensus(
         if nw.use_pallas_for(32, S, S, W):
             # directions live in per-program VMEM scratch; one dispatch
             # carries the whole bucket (fewer dispatch chains and padded
-            # shapes; the grid scales freely)
-            max_b = 16384 * n_dev
+            # shapes; the grid scales freely).  Dispatches cost ~40 ms
+            # each through the relay, so carry as much as HBM allows.
+            max_b = 65536 * n_dev
         else:
             max_b = max(64, n_dev * (1 << 30) // ((2 * S + 1) * W))
         sub: list[list[int]] = [[]]

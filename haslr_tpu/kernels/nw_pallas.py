@@ -258,6 +258,203 @@ def _fused_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
     map_ref[:] = mapping
 
 
+def _votes_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
+                  dlen_ref, planes_ref, stats_ref, dirs_vmem, *, R, D, W,
+                  match, mismatch, gap, GROUP):
+    """DP + traceback that emits DRAFT-INDEXED vote planes directly.
+
+    The mapping-output kernel leaves the per-window vote aggregation to an
+    XLA scatter-add over B*R elements — measured ~55 ms per 8192-read
+    round on v5e (duplicate-index scatters serialize), 10-100x the cost
+    of the DP itself.  This variant instead writes, during the same
+    wavefront traceback, three per-READ vote planes indexed by draft
+    position:
+
+    - ``planeB[j-1]`` — the read base aligned to draft position j-1
+      (diagonal moves; 4 = no base aligned there);
+    - ``planeA[q]`` / ``planeA2[q]`` — the first/second inserted base
+      after draft anchor q-1 (forward rank 0/1 of each insertion run;
+      4 = none).
+
+    Per-read planes have NO write collisions (a read aligns each draft
+    position at most once, and each anchor hosts at most one insertion
+    run per read — j strictly decreases across runs), so no scatter is
+    needed anywhere: the per-window tables reduce from the planes with an
+    int8 segment-matrix matmul on the MXU
+    (``consensus_dense._kernel_vote_tables``).
+
+    Insertion ranks: traceback visits a run's insertions in reverse
+    order, so registers ``bA``/``bB`` shift on every UP move and hold the
+    run's forward-first two bases when the run ends; the flush is eager
+    (on the read's next non-continuing move), which keeps the flush
+    target ``q = run_anchor + 1`` equal to the CURRENT j — one masked
+    full-width write per plane per step.
+
+    ``stats_ref`` carries per-read (jmin, jmax) over aligned draft
+    positions — the inputs for the O(B) coverage-span/read-count
+    scatters that remain in XLA.
+    """
+    rl = rlen_ref[:]  # (GROUP, 1) int32
+    dl = dlen_ref[:]
+    t_max = tmax_ref[pl.program_id(0)]
+    _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_vmem, t_max,
+              R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap,
+              GROUP=GROUP)
+
+    DQ = D + 128  # insertion-plane width: slots q in [0, D], lane-padded
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (GROUP, D), 1)
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (GROUP, DQ), 1)
+    # data-dependent inits (see layout note in _dp_phase)
+    zb = jnp.minimum(rrev_ref[:, 0:D], 0)
+    zq = jnp.minimum(rrev_ref[:, 0:DQ], 0)
+    z1 = jnp.minimum(rrev_ref[:, 0:1], 0)
+    plane_b0 = jnp.full((GROUP, D), 4, jnp.int32) + zb
+    plane_a0 = jnp.full((GROUP, DQ), 4, jnp.int32) + zq
+    plane_a20 = jnp.full((GROUP, DQ), 4, jnp.int32) + zq
+    run_anchor0 = jnp.full((GROUP, 1), -9, jnp.int32) + z1
+    b_a0 = jnp.full((GROUP, 1), 4, jnp.int32) + z1
+    b_b0 = jnp.full((GROUP, 1), 4, jnp.int32) + z1
+    jmin0 = jnp.full((GROUP, 1), jnp.int32(1 << 29), jnp.int32) + z1
+    jmax0 = jnp.full((GROUP, 1), -1, jnp.int32) + z1
+
+    def tb_step(k, carry):
+        (i, j, plane_b, plane_a, plane_a2, run_anchor, b_a, b_b, jmn,
+         jmx) = carry
+        t = t_max - k
+        active = ((i > 0) | (j > 0)) & (i + j == t)
+        b_t = base_ref[t]
+        lane = j - b_t
+        in_band = (lane >= 0) & (lane < W)
+        row = dirs_vmem[t].astype(jnp.int32)  # (GROUP, W)
+        picked = jnp.sum(
+            jnp.where(lane_w == lane, row, 0), axis=1, keepdims=True
+        )
+        d = jnp.where(in_band, picked, jnp.int32(LEFT))
+        d = jnp.where(i == 0, jnp.int32(LEFT), d)
+        d = jnp.where(j == 0, jnp.int32(UP), d)
+        is_diag = active & (d == DIAG)
+        is_up = active & (d == UP)
+        is_left = active & (d == LEFT)
+        # read base at i-1: same sliding window as the DP, one lane-select
+        rbw = window_of(rrev_ref, R - t + b_t, R, W, GROUP)
+        rb_i = jnp.sum(
+            jnp.where(lane_w == lane, rbw, 0), axis=1, keepdims=True
+        ) & 3
+        # aligned-base vote + span stats (diagonal moves)
+        plane_b = jnp.where((col_b == j - 1) & is_diag, rb_i, plane_b)
+        jmn = jnp.where(is_diag, jnp.minimum(jmn, j - 1), jmn)
+        jmx = jnp.where(is_diag, jnp.maximum(jmx, j - 1), jmx)
+        # insertion runs: traceback-consecutive UP moves at one anchor
+        anchor_now = j - 1
+        same_run = is_up & (run_anchor == anchor_now)
+        has_run = run_anchor >= -1
+        ended = active & has_run & ~same_run
+        q_t = run_anchor + 1
+        plane_a = jnp.where((col_q == q_t) & ended, b_a, plane_a)
+        plane_a2 = jnp.where((col_q == q_t) & ended, b_b, plane_a2)
+        b_b = jnp.where(same_run, b_a, jnp.where(is_up, 4, b_b))
+        b_a = jnp.where(is_up, rb_i, jnp.where(ended, 4, b_a))
+        run_anchor = jnp.where(
+            is_up, anchor_now, jnp.where(ended, -9, run_anchor)
+        )
+        i = i - (is_diag | is_up)
+        j = j - (is_diag | is_left)
+        return (i, j, plane_b, plane_a, plane_a2, run_anchor, b_a, b_b,
+                jmn, jmx)
+
+    carry = (rl, dl, plane_b0, plane_a0, plane_a20, run_anchor0, b_a0,
+             b_b0, jmin0, jmax0)
+    if not TB_SKIP:
+        carry = jax.lax.fori_loop(0, t_max, tb_step, carry, unroll=False)
+    (_, _, plane_b, plane_a, plane_a2, run_anchor, b_a, b_b, jmn,
+     jmx) = carry
+    # final flush: a run still open when the walk reaches (0, 0)
+    has_run = run_anchor >= -1
+    q_t = run_anchor + 1
+    plane_a = jnp.where((col_q == q_t) & has_run, b_a, plane_a)
+    plane_a2 = jnp.where((col_q == q_t) & has_run, b_b, plane_a2)
+    planes_ref[:, 0:D] = plane_b.astype(jnp.uint8)
+    planes_ref[:, D : D + DQ] = plane_a.astype(jnp.uint8)
+    planes_ref[:, D + DQ : D + 2 * DQ] = plane_a2.astype(jnp.uint8)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
+    stats_ref[:] = jnp.where(
+        lane_s == 0, jmn, jnp.where(lane_s == 1, jmx, 0)
+    )
+
+
+def window_of(ref, o, size, W, GROUP):
+    """(GROUP, W) sliding window out[:, k] = ref[:, o + k] (module-level
+    twin of ``_dp_phase``'s inner helper, for the traceback)."""
+    WIDE = 2 * W
+    aligned = jnp.clip((o // 128) * 128, 0, (size // 128) * 128)
+    aligned = pl.multiple_of(aligned, 128)
+    wide = ref[:, pl.ds(aligned, WIDE)]
+    shift = jnp.mod(aligned - o, WIDE)
+    return pltpu.roll(wide, shift, axis=1)[:, :W]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def nw_votes_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
+                    mismatch, gap, interpret=False):
+    """Fused banded-NW DP + vote-emitting traceback.
+
+    Returns ``(planes, stats)``: ``planes`` (B, 3*D + 256) uint8 laid out
+    as [aligned-base plane (D) | ins rank-0 plane (D+128) | ins rank-1
+    plane (D+128)] with 4 = no vote, ``stats`` (B, 128) int32 with
+    columns (jmin, jmax) over aligned draft positions (jmax < 0 = read
+    aligned nowhere).  See :func:`_votes_kernel`."""
+    B = reads.shape[0]
+    G = group_for(R, D, W)
+    if B % G:
+        G = 32
+    assert B % G == 0
+    T = R + D
+    base = jnp.asarray(band_bases(R, D, W), dtype=jnp.int32)
+    rl = r_lens.astype(jnp.int32)
+    dl = d_lens.astype(jnp.int32)
+    group_tmax = (rl + dl).reshape(B // G, G).max(axis=1)
+    group_tmax = jnp.maximum(group_tmax, 1)
+    DQ = D + 128
+    kernel = functools.partial(
+        _votes_kernel, R=R, D=D, W=W, match=match, mismatch=mismatch,
+        gap=gap, GROUP=G,
+    )
+    rrev, dpad = _rev_pad_inputs(reads, drafts, W)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec((G, R + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, D + 2 * W), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, 1), lambda i, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((G, D + 2 * DQ), lambda i, *_: (i, 0)),
+                pl.BlockSpec((G, 128), lambda i, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((T + 1, G, W), jnp.uint8),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D + 2 * DQ), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        base,
+        group_tmax,
+        rrev,
+        dpad,
+        rl.reshape(B, 1),
+        dl.reshape(B, 1),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def nw_dirs_pallas(reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
                    gap, interpret=False):

@@ -80,7 +80,7 @@ def main():
     nw_pallas.TB_SKIP = False
     nw_pallas.nw_mapping_pallas.clear_cache()
 
-    for du, tu in ((2, 2), (4, 4)):
+    for du, tu in ((2, 2),):
         nw_pallas.DP_UNROLL, nw_pallas.TB_UNROLL = du, tu
         nw_pallas.nw_mapping_pallas.clear_cache()
         try:
@@ -95,27 +95,13 @@ def main():
     nw_pallas.DP_UNROLL = nw_pallas.TB_UNROLL = 1
     nw_pallas.nw_mapping_pallas.clear_cache()
 
-    timed(
-        "nw_dirs_pallas (DP -> HBM dirs)",
-        lambda: nw_pallas.nw_dirs_pallas(
-            reads, r_lens, jdrafts, jdl, S, S, W, 5, -4, -8
-        ),
-    )
-
     mapping = jnp.asarray(mapping)
-    for name, fn in cd._SCATTER_IMPLS.items():
+    for name in ("scatter", "packed"):
+        fn = cd._SCATTER_IMPLS[name]
         scat = jax.jit(
             lambda m, fn=fn: fn(m, reads, r_lens, wj, ok, N, S)
         )
         timed(f"scatter votes ({name})", lambda: scat(mapping))
-
-    tables = jax.jit(
-        lambda m: cd._scatter_votes(m, reads, r_lens, wj, ok, N, S)
-    )(mapping)
-    jd_full = jnp.asarray(drafts_n)
-    jdl_full = jnp.asarray(d_lens_n)
-    vote = jax.jit(lambda t: cd._vote_compact(*t, jd_full, jdl_full, N, S))
-    timed("vote + compact", lambda: vote(tables))
 
 
 if __name__ == "__main__":

@@ -80,3 +80,61 @@ def test_fused_mapping_matches_xla_traceback_interpret():
         nw_mapping_pallas(*args, S, S, W, 5, -4, -8, True)
     ).astype(np.int16)
     np.testing.assert_array_equal(ref, got)
+
+def test_votes_kernel_tables_match_scatter_interpret():
+    """The vote-plane kernel + MXU matmul reduction produces the exact
+    vote tables of the mapping kernel + XLA scatter path (base counts,
+    both insertion ranks, coverage spans, read counts), including indel
+    runs, band-dropped rows, and pure padding rows."""
+    import jax
+
+    from haslr_tpu.kernels import consensus_dense as cd
+    from haslr_tpu.kernels.nw_pallas import nw_votes_pallas
+
+    B, S, W = 2 * GROUP, 256, 128
+    N = 8
+    rng = np.random.default_rng(11)
+    reads = np.full((B, S), 4, np.uint8)
+    drafts_n = np.full((N, S), 4, np.uint8)
+    d_lens_n = np.zeros(N, np.int32)
+    for n in range(N):
+        dl = int(rng.integers(60, S - 10))
+        drafts_n[n, :dl] = rng.integers(0, 4, dl)
+        d_lens_n[n] = dl
+    win_idx = rng.integers(0, N, B).astype(np.int32)
+    r_lens = np.zeros(B, np.int32)
+    for b in range(B - 4):  # last rows stay padding
+        d = drafts_n[win_idx[b]][: d_lens_n[win_idx[b]]]
+        r = []
+        for ch in d:
+            x = rng.random()
+            if x < 0.04:
+                continue
+            if x < 0.10:
+                r.append(int(rng.integers(0, 4)))
+            if x < 0.14:
+                r.append(int(rng.integers(0, 4)))
+                continue
+            r.append(int(ch))
+        r = np.array(r[:S], np.uint8)
+        reads[b, : len(r)] = r
+        r_lens[b] = len(r)
+    dl_r = d_lens_n[win_idx]
+    ok = (r_lens > 0) & (dl_r > 0) & (np.abs(r_lens - dl_r) < W // 2 - 4)
+    dr_r = drafts_n[win_idx]
+    args = (
+        jnp.asarray(reads), jnp.asarray(r_lens),
+        jnp.asarray(dr_r), jnp.asarray(dl_r),
+    )
+    mapping = nw._align_mapping(*args, S, S, W, 5, -4, -8, False)
+    ref = cd._scatter_votes(
+        mapping, jnp.asarray(reads), jnp.asarray(r_lens),
+        jnp.asarray(win_idx), jnp.asarray(ok), N, S,
+    )
+    planes, stats = nw_votes_pallas(*args, S, S, W, 5, -4, -8, True)
+    got = cd._kernel_vote_tables(
+        planes, stats, jnp.asarray(win_idx), jnp.asarray(ok), N, S
+    )
+    names = ("counts", "cov_diff", "ins1", "ins2", "n_reads")
+    for name, a, b in zip(names, ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
