@@ -46,6 +46,15 @@ from haslr_tpu.kernels.kmer import (
 
 FULL = np.uint32(0xFFFFFFFF)
 
+# host-side wall-clock accounting of the last count_kmers_streaming call
+# (phase1_pack / phase1_device / phase2_device / split); PROF.clear() to
+# reset — mirrors consensus_dense.PROF
+PROF: dict[str, float] = {}
+
+
+def _prof(key, dt):
+    PROF[key] = PROF.get(key, 0.0) + dt
+
 
 def pack2(codes: np.ndarray) -> np.ndarray:
     """2-bit pack (4 codes/byte, LSB-first) for the host->device hop."""
@@ -237,10 +246,15 @@ def count_kmers_streaming(
     in_flight: list[tuple] = []
 
     def collect_one():
+        import time as _time
+
         out_words, out_counts, n_keep = in_flight.pop(0)
+        _t0 = _time.time()
         nk = int(n_keep)
+        _prof("phase1_device", _time.time() - _t0)
         if nk == 0:
             return
+        _t0 = _time.time()
         rows = np.stack(
             [np.asarray(w[:nk]) for w in out_words]
             + [np.asarray(out_counts[:nk]).astype(np.uint32)]
@@ -252,11 +266,15 @@ def count_kmers_streaming(
             lo_i, hi_i = bounds[pid], bounds[pid + 1]
             if hi_i > lo_i:
                 store.add(pid, rows[:, lo_i:hi_i])
+        _prof("phase1_d2h_split", _time.time() - _t0)
 
     def flush():
+        import time as _time
+
         nonlocal buf, buf_len
         if not buf:
             return
+        _t0 = _time.time()
         codes = np.concatenate(buf)
         offsets = np.zeros(len(buf) + 1, np.int64)
         np.cumsum([len(b) for b in buf], out=offsets[1:])
@@ -272,6 +290,7 @@ def count_kmers_streaming(
         in_flight.append(_count_chunk(
             jnp.asarray(packed), jnp.asarray(off_pad), k, 1, n_off
         ))
+        _prof("phase1_pack_dispatch", _time.time() - _t0)
         while len(in_flight) > 2:
             collect_one()
 
@@ -313,9 +332,12 @@ def count_kmers_streaming(
         pending_m = 0
 
         def merge_pending():
+            import time as _time
+
             nonlocal pending_rows, pending_m
             if pending_m == 0:
                 return
+            _t0 = _time.time()
             rows = (
                 pending_rows[0]
                 if len(pending_rows) == 1
@@ -332,6 +354,7 @@ def count_kmers_streaming(
                 min_count,
             )
             emit(out_words, out_counts, int(n_keep))
+            _prof("phase2_merge", _time.time() - _t0)
 
         for pid in range(n_parts):
             rows = store.take(pid)

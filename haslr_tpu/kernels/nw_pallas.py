@@ -259,8 +259,9 @@ def _fused_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
 
 
 def _votes_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
-                  dlen_ref, planes_ref, stats_ref, dirs_vmem, *, R, D, W,
-                  match, mismatch, gap, GROUP):
+                  dlen_ref, planes_ref, stats_ref, dirs_vmem, pb_vmem,
+                  pa_vmem, pa2_vmem, *, R, D, W, match, mismatch, gap,
+                  GROUP):
     """DP + traceback that emits DRAFT-INDEXED vote planes directly.
 
     The mapping-output kernel leaves the per-window vote aggregation to an
@@ -287,8 +288,15 @@ def _votes_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
     order, so registers ``bA``/``bB`` shift on every UP move and hold the
     run's forward-first two bases when the run ends; the flush is eager
     (on the read's next non-continuing move), which keeps the flush
-    target ``q = run_anchor + 1`` equal to the CURRENT j — one masked
-    full-width write per plane per step.
+    target ``q = run_anchor + 1`` equal to the CURRENT j.
+
+    All three write targets lie inside the step's band window
+    (``j - 1`` and ``q = j`` are within ``[base_t - 1, base_t + W - 1]``
+    for every row), so each plane lives in int8 VMEM scratch and is
+    updated with a 2W-wide aligned read-modify-write per step instead of
+    a full-width select — the full-width variant made the traceback the
+    dominant cost of the whole consensus engine (~0.7 s per 65k-read
+    round on v5e; plane updates were ~3/4 of its per-step vector work).
 
     ``stats_ref`` carries per-read (jmin, jmax) over aligned draft
     positions — the inputs for the O(B) coverage-span/read-count
@@ -302,25 +310,33 @@ def _votes_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
               GROUP=GROUP)
 
     DQ = D + 128  # insertion-plane width: slots q in [0, D], lane-padded
+    WIDE = 2 * W
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
-    col_b = jax.lax.broadcasted_iota(jnp.int32, (GROUP, D), 1)
-    col_q = jax.lax.broadcasted_iota(jnp.int32, (GROUP, DQ), 1)
+    lane_2w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, WIDE), 1)
+    none8 = jnp.full((GROUP, pb_vmem.shape[1]), 4, jnp.int8)
+    pb_vmem[:] = none8[:, : pb_vmem.shape[1]]
+    pa_vmem[:] = none8[:, : pa_vmem.shape[1]]
+    pa2_vmem[:] = none8[:, : pa2_vmem.shape[1]]
     # data-dependent inits (see layout note in _dp_phase)
-    zb = jnp.minimum(rrev_ref[:, 0:D], 0)
-    zq = jnp.minimum(rrev_ref[:, 0:DQ], 0)
     z1 = jnp.minimum(rrev_ref[:, 0:1], 0)
-    plane_b0 = jnp.full((GROUP, D), 4, jnp.int32) + zb
-    plane_a0 = jnp.full((GROUP, DQ), 4, jnp.int32) + zq
-    plane_a20 = jnp.full((GROUP, DQ), 4, jnp.int32) + zq
     run_anchor0 = jnp.full((GROUP, 1), -9, jnp.int32) + z1
     b_a0 = jnp.full((GROUP, 1), 4, jnp.int32) + z1
     b_b0 = jnp.full((GROUP, 1), 4, jnp.int32) + z1
     jmin0 = jnp.full((GROUP, 1), jnp.int32(1 << 29), jnp.int32) + z1
     jmax0 = jnp.full((GROUP, 1), -1, jnp.int32) + z1
+    cap_b = (pb_vmem.shape[1] - WIDE) // 128 * 128
+
+    def rmw(ref, aligned, cond, p, val8):
+        """ref[:, aligned + k] = val8 where k == p & cond (one aligned
+        2W-wide window read-modify-write)."""
+        wide = ref[:, pl.ds(aligned, WIDE)]
+        wide = jnp.where(
+            (lane_2w == p) & cond, val8, wide
+        )
+        ref[:, pl.ds(aligned, WIDE)] = wide
 
     def tb_step(k, carry):
-        (i, j, plane_b, plane_a, plane_a2, run_anchor, b_a, b_b, jmn,
-         jmx) = carry
+        (i, j, run_anchor, b_a, b_b, jmn, jmx) = carry
         t = t_max - k
         active = ((i > 0) | (j > 0)) & (i + j == t)
         b_t = base_ref[t]
@@ -341,18 +357,26 @@ def _votes_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
         rb_i = jnp.sum(
             jnp.where(lane_w == lane, rbw, 0), axis=1, keepdims=True
         ) & 3
-        # aligned-base vote + span stats (diagonal moves)
-        plane_b = jnp.where((col_b == j - 1) & is_diag, rb_i, plane_b)
+        rb8 = rb_i.astype(jnp.int8)
+        # every write target this step sits in [b_t - 1, b_t + W - 1]:
+        # one aligned window base serves all three planes
+        aligned = jnp.clip((b_t - 1) // 128 * 128, 0, cap_b)
+        aligned = pl.multiple_of(aligned, 128)
+        # aligned-base vote at col j-1 + span stats (diagonal moves)
+        rmw(pb_vmem, aligned, is_diag, j - 1 - aligned, rb8)
         jmn = jnp.where(is_diag, jnp.minimum(jmn, j - 1), jmn)
         jmx = jnp.where(is_diag, jnp.maximum(jmx, j - 1), jmx)
-        # insertion runs: traceback-consecutive UP moves at one anchor
+        # insertion runs: traceback-consecutive UP moves at one anchor;
+        # eager flush => target q = run_anchor + 1 == current j
         anchor_now = j - 1
         same_run = is_up & (run_anchor == anchor_now)
         has_run = run_anchor >= -1
         ended = active & has_run & ~same_run
         q_t = run_anchor + 1
-        plane_a = jnp.where((col_q == q_t) & ended, b_a, plane_a)
-        plane_a2 = jnp.where((col_q == q_t) & ended, b_b, plane_a2)
+        rmw(pa_vmem, aligned, ended, q_t - aligned,
+            b_a.astype(jnp.int8))
+        rmw(pa2_vmem, aligned, ended, q_t - aligned,
+            b_b.astype(jnp.int8))
         b_b = jnp.where(same_run, b_a, jnp.where(is_up, 4, b_b))
         b_a = jnp.where(is_up, rb_i, jnp.where(ended, 4, b_a))
         run_anchor = jnp.where(
@@ -360,23 +384,25 @@ def _votes_kernel(base_ref, tmax_ref, rrev_ref, dpad_ref, rlen_ref,
         )
         i = i - (is_diag | is_up)
         j = j - (is_diag | is_left)
-        return (i, j, plane_b, plane_a, plane_a2, run_anchor, b_a, b_b,
-                jmn, jmx)
+        return (i, j, run_anchor, b_a, b_b, jmn, jmx)
 
-    carry = (rl, dl, plane_b0, plane_a0, plane_a20, run_anchor0, b_a0,
-             b_b0, jmin0, jmax0)
+    carry = (rl, dl, run_anchor0, b_a0, b_b0, jmin0, jmax0)
     if not TB_SKIP:
         carry = jax.lax.fori_loop(0, t_max, tb_step, carry, unroll=False)
-    (_, _, plane_b, plane_a, plane_a2, run_anchor, b_a, b_b, jmn,
-     jmx) = carry
-    # final flush: a run still open when the walk reaches (0, 0)
+    (_, _, run_anchor, b_a, b_b, jmn, jmx) = carry
+    # final flush: a run still open when the walk reaches (0, 0) has
+    # anchor -1 (forced UP moves at j == 0), so the target slot is q = 0
     has_run = run_anchor >= -1
     q_t = run_anchor + 1
-    plane_a = jnp.where((col_q == q_t) & has_run, b_a, plane_a)
-    plane_a2 = jnp.where((col_q == q_t) & has_run, b_b, plane_a2)
-    planes_ref[:, 0:D] = plane_b.astype(jnp.uint8)
-    planes_ref[:, D : D + DQ] = plane_a.astype(jnp.uint8)
-    planes_ref[:, D + DQ : D + 2 * DQ] = plane_a2.astype(jnp.uint8)
+    aligned0 = pl.multiple_of(0, 128)
+    rmw(pa_vmem, aligned0, has_run & (q_t < WIDE), q_t,
+        b_a.astype(jnp.int8))
+    rmw(pa2_vmem, aligned0, has_run & (q_t < WIDE), q_t,
+        b_b.astype(jnp.int8))
+    planes_ref[:, 0:D] = pb_vmem[:, 0:D].astype(jnp.uint8)
+    planes_ref[:, D : D + DQ] = pa_vmem[:, 0:DQ].astype(jnp.uint8)
+    planes_ref[:, D + DQ : D + 2 * DQ] = pa2_vmem[:, 0:DQ] \
+        .astype(jnp.uint8)
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
     stats_ref[:] = jnp.where(
         lane_s == 0, jmn, jnp.where(lane_s == 1, jmx, 0)
@@ -438,6 +464,9 @@ def nw_votes_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
             ],
             scratch_shapes=[
                 pltpu.VMEM((T + 1, G, W), jnp.uint8),
+                pltpu.VMEM((G, D + 2 * W), jnp.int8),
+                pltpu.VMEM((G, D + 2 * W), jnp.int8),
+                pltpu.VMEM((G, D + 2 * W), jnp.int8),
             ],
         ),
         out_shape=[
