@@ -139,6 +139,34 @@ def _pow2(n: int, floor: int = 1024) -> int:
     return p
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _acc_alloc(n_rows_dim, cap):
+    """Device row accumulator: all-FULL word rows (sort strictly last in
+    any merge — no canonical k-mer is all-FULL), zero counts row."""
+    acc = jnp.full((n_rows_dim, cap), FULL, jnp.uint32)
+    return acc.at[-1].set(0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _acc_insert(acc, words, counts, n_keep, offset):
+    """Insert one chunk's compacted rows at ``offset`` (device-resident;
+    nothing is materialized).  Rows past ``n_keep`` are re-masked to the
+    FULL/0 pad pattern (the chunk kernel's compaction leaves zeros
+    there, which would sort first and corrupt the merge)."""
+    stack = jnp.stack(list(words))
+    m = stack.shape[1]
+    live = jnp.arange(m) < n_keep
+    wmask = jnp.where(live[None, :], stack, FULL)
+    cmask = jnp.where(live, counts.astype(jnp.uint32), 0)
+    block = jnp.concatenate([wmask, cmask[None]], axis=0)
+    return jax.lax.dynamic_update_slice(acc, block, (0, offset))
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _acc_grow(acc_new, acc_old):
+    return jax.lax.dynamic_update_slice(acc_new, acc_old, (0, 0))
+
+
 @functools.lru_cache(maxsize=None)
 def _make_sharded_merge(mesh, n_words, M, min_count):
     """shard_mapped phase-2 merge: each device merges ONE partition of the
@@ -215,14 +243,23 @@ def count_kmers_streaming(
     prefix_bits: int = 4,
     spill_dir: str | None = None,
     mesh=None,
+    device_rows_budget: int = 1 << 27,
 ):
     """Canonical k-mer counts over an iterable of read code arrays.
 
     Same output contract as ``count_kmers_host``: (hi, lo, counts), the
     distinct canonical k-mers in sorted order with count >= min_count.
-    Device and host memory stay bounded by ``chunk_bases`` and the largest
-    partition (1/4^prefix_bits of the distinct k-mers), independent of
-    total input size.
+
+    Two regimes.  While the accumulated per-chunk rows fit
+    ``device_rows_budget`` (and no mesh/spill is requested), everything
+    stays DEVICE-RESIDENT: chunk rows append into a fixed-capacity HBM
+    accumulator and one final device sort merges them — only the final
+    distinct rows ever cross the host link.  (The earlier host-partition
+    round trip shipped every chunk's rows device->host->device; at this
+    machine's ~30-50 MB/s relay that was ~95% of the counter's wall
+    clock on a 184 Mbp run.)  Beyond the budget — or with ``spill_dir``
+    or ``mesh`` — rows fall back to the prefix-partitioned host/disk
+    store with bounded memory at any scale.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — phase 2
     then merges ``n_devices`` prefix partitions at a time, one partition
@@ -236,6 +273,15 @@ def count_kmers_streaming(
     n_parts = 1 << (2 * prefix_bits)
     store = _PartitionStore(n_parts, n_words, spill_dir)
 
+    # --- device-resident accumulator state ------------------------------
+    device_mode = spill_dir is None and mesh is None
+    acc = None
+    acc_cap = 0
+    acc_off = 0  # rows consumed (incl. chunk pad rows)
+    acc_keeps: list = []  # device n_keep scalars, summed lazily
+    acc_segs: list[tuple[int, int]] = []  # (offset, m) per inserted chunk
+    max_cap = 1 << (max(device_rows_budget, 2).bit_length() - 1)
+
     # ---- phase 1: distribute ------------------------------------------
     # flush() only DISPATCHES the chunk kernel; results are collected
     # later (bounded in-flight queue) so the host-side read streaming and
@@ -245,10 +291,88 @@ def count_kmers_streaming(
     buf_len = 0
     in_flight: list[tuple] = []
 
+    def _store_rows(rows):
+        """Split one chunk's sorted rows by prefix into the host store."""
+        pids = rows[0] >> shift
+        bounds = np.searchsorted(pids, np.arange(n_parts + 1))
+        for pid in range(n_parts):
+            lo_i, hi_i = bounds[pid], bounds[pid + 1]
+            if hi_i > lo_i:
+                store.add(pid, rows[:, lo_i:hi_i])
+
+    def _spill_acc_to_host():
+        """Budget exceeded: materialize the accumulated device segments
+        into the host partition store and continue in host mode."""
+        nonlocal device_mode, acc
+        import time as _time
+
+        _t0 = _time.time()
+        host = np.asarray(acc)
+        keeps = [int(nkd) for nkd in acc_keeps]
+        for (off, m), nk in zip(acc_segs, keeps):
+            if nk:
+                _store_rows(host[:, off : off + nk])
+        acc = None
+        device_mode = False
+        _prof("acc_spill", _time.time() - _t0)
+
+    def _self_compact():
+        """Merge the accumulator in place (sort + RLE at min_count=1):
+        acc_off shrinks to ~the distinct row count so far, so the device
+        path scales to any input whose DISTINCT k-mers fit the budget."""
+        nonlocal acc, acc_off
+        import time as _time
+
+        _t0 = _time.time()
+        real = int(sum(int(nkd) for nkd in acc_keeps))
+        ow, oc, nk2 = _merge_partition(
+            acc[:-1], acc[-1], np.int32(real), 1
+        )
+        nk2i = int(nk2)
+        nkp = _pow2(nk2i, 1024)
+        acc = _acc_alloc(n_words + 1, acc_cap)
+        acc = _acc_insert(
+            acc, tuple(w[:nkp] for w in ow), oc[:nkp], nk2,
+            np.int32(0),
+        )
+        acc_keeps.clear()
+        acc_keeps.append(np.int32(nk2i))
+        acc_segs.clear()
+        acc_segs.append((0, nkp))
+        acc_off = nkp
+        _prof("acc_compact", _time.time() - _t0)
+
     def collect_one():
         import time as _time
 
+        nonlocal acc, acc_cap, acc_off
         out_words, out_counts, n_keep = in_flight.pop(0)
+        if device_mode:
+            _t0 = _time.time()
+            m = out_words[0].shape[0]
+            if acc_off + m > max_cap and acc is not None:
+                _prof("phase1_acc", _time.time() - _t0)
+                _self_compact()
+                _t0 = _time.time()
+            if acc_off + m > max_cap:
+                # even compacted, the distinct rows exceed the budget
+                _prof("phase1_acc", _time.time() - _t0)
+                _spill_acc_to_host()
+            else:
+                while acc_cap < acc_off + m:
+                    new_cap = max(_pow2(2 * m), 2 * acc_cap)
+                    new = _acc_alloc(n_words + 1, new_cap)
+                    acc = new if acc is None else _acc_grow(new, acc)
+                    acc_cap = new_cap
+                acc = _acc_insert(
+                    acc, tuple(out_words), out_counts, n_keep,
+                    np.int32(acc_off),
+                )
+                acc_keeps.append(n_keep)
+                acc_segs.append((acc_off, m))
+                acc_off += m
+                _prof("phase1_acc", _time.time() - _t0)
+                return
         _t0 = _time.time()
         nk = int(n_keep)
         _prof("phase1_device", _time.time() - _t0)
@@ -259,13 +383,7 @@ def count_kmers_streaming(
             [np.asarray(w[:nk]) for w in out_words]
             + [np.asarray(out_counts[:nk]).astype(np.uint32)]
         )
-        # split the sorted rows by prefix (contiguous ranges)
-        pids = rows[0] >> shift
-        bounds = np.searchsorted(pids, np.arange(n_parts + 1))
-        for pid in range(n_parts):
-            lo_i, hi_i = bounds[pid], bounds[pid + 1]
-            if hi_i > lo_i:
-                store.add(pid, rows[:, lo_i:hi_i])
+        _store_rows(rows)
         _prof("phase1_d2h_split", _time.time() - _t0)
 
     def flush():
@@ -321,7 +439,22 @@ def count_kmers_streaming(
         los.append(lo)
         cnts.append(counts)
 
-    if mesh is None:
+    if device_mode:
+        # one device sort over the resident accumulator; the only D2H is
+        # the final distinct rows
+        import time as _time
+
+        _t0 = _time.time()
+        if acc is None:
+            z = np.zeros(0, np.uint64)
+            return z, z, np.zeros(0, np.int64)
+        real = int(sum(int(nkd) for nkd in acc_keeps))
+        out_words, out_counts, n_keep = _merge_partition(
+            acc[:-1], acc[-1], np.int32(real), min_count
+        )
+        emit(out_words, out_counts, int(n_keep))
+        _prof("phase2_merge", _time.time() - _t0)
+    elif mesh is None:
         # batch CONSECUTIVE partitions into one device sort per ~group_rows
         # rows: partition p's k-mers all precede partition p+1's, so a
         # joint sort of a prefix-contiguous group emits the same globally

@@ -103,6 +103,43 @@ def test_kmer_streaming_sharded_matches_host():
     np.testing.assert_array_equal(hc, sc)
 
 
+def test_kmer_streaming_device_acc_compact_and_spill():
+    """The device-resident accumulator's self-compaction (in-place merge
+    when the row budget fills) and its last-resort spill to the host
+    partition store must both preserve bit-identity with the host
+    counter."""
+    from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
+
+    rng = np.random.default_rng(9)
+    # high duplication so self-compaction actually shrinks the rows
+    pool = [rng.integers(0, 4, 200).astype(np.uint8) for _ in range(6)]
+    reads = [pool[int(rng.integers(0, 6))] for _ in range(300)]
+    reads += [
+        rng.integers(0, 4, rng.integers(60, 200)).astype(np.uint8)
+        for _ in range(100)
+    ]
+    concat = []
+    for r in reads:
+        concat.append(r)
+        concat.append(np.array([kk.SEP], np.uint8))
+    codes = np.concatenate(concat)
+    hh, hl, hc = kk.count_kmers_host(codes, 31, 2)
+    # budget large enough to hold the distinct rows but far below the
+    # raw per-chunk row stream -> repeated self-compaction
+    sh, sl, sc = count_kmers_streaming(
+        reads, 31, 2, chunk_bases=4096, device_rows_budget=1 << 13
+    )
+    np.testing.assert_array_equal(hh, sh)
+    np.testing.assert_array_equal(hc, sc)
+    # budget below even the distinct rows -> spill to the host store
+    sh2, sl2, sc2 = count_kmers_streaming(
+        reads, 31, 2, chunk_bases=4096, device_rows_budget=1 << 9
+    )
+    np.testing.assert_array_equal(hh, sh2)
+    np.testing.assert_array_equal(hl, sl2)
+    np.testing.assert_array_equal(hc, sc2)
+
+
 def test_kmer_abundance_filter():
     codes = np.concatenate(
         [cseq.encode("ACGTACGTAC"), [4], cseq.encode("ACGTACGTAC")]
