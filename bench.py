@@ -173,7 +173,9 @@ def check_pallas_vs_scan():
 def bench_kmer_rate(n_reads=32_000, n_batches=2):
     """Steady-state device k-mer counting rate (Mbases/s) through the
     streaming prefix-partitioned counter (the minia replacement,
-    bin/haslr.py:180) on a synthetic 48 Mbp short-read stream."""
+    bin/haslr.py:180).  Measured workload: ``n_batches`` batches of
+    ``n_reads`` x 150 bp (default 2 x 4.8 = 9.6 Mbp), after one full-size
+    warm-up batch that absorbs the per-shape compiles."""
     from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
 
     rng = np.random.default_rng(5)

@@ -38,7 +38,8 @@ def _edge_window_seqs(edge: bb.BBGEdge, lrs) -> list[str]:
 
 
 def calc_consensus(
-    graph, lrs, cfg: AssembleConfig | None = None, log=None, mesh=None
+    graph, lrs, cfg: AssembleConfig | None = None, log=None, mesh=None,
+    log_path: str | None = None,
 ) -> int:
     """Consensus for every unique edge; flags edges 12 like the reference
     work queue.  Returns the number of edges processed.
@@ -48,7 +49,11 @@ def calc_consensus(
     mesh and per-window vote tables psum-merge (the multi-chip
     replacement for the reference's pthread edge queue,
     Assemble.cpp:436-477,562-605); output is bit-identical to the
-    single-device run."""
+    single-device run.
+
+    ``log_path``: when given, a per-edge record log in the reference's
+    ``log_consensus.txt`` format (main.cpp:207, Assemble.cpp:501-558):
+    the shared region, each supporting subsequence, and the consensus."""
     cfg = cfg or AssembleConfig()
     edges = []
     for n1, r1, n2, r2, edge, twin in bb.unique_edges(graph):
@@ -89,6 +94,22 @@ def calc_consensus(
         for (edge, twin), cns in zip(edges, results):
             edge.cns_seq = cns
             twin.cns_seq = cseq.revcomp(cns)
+    if log_path is not None:
+        with open(log_path, "w") as fp:
+            for edge, _twin in edges:
+                fp.write(
+                    f"[shared_region] head_end:{edge.head_end}\t"
+                    f"tail_beg:{edge.tail_beg}\n"
+                )
+                for s, sub in zip(
+                    edge.cns_supp, _edge_window_seqs(edge, lrs)
+                ):
+                    fp.write(
+                        f">{s.lr_id} {'-' if s.lr_strand else '+'} "
+                        f"{s.spos} {s.epos} {s.epos - s.spos + 1}\n"
+                        f"{sub}\n"
+                    )
+                fp.write(f">CONSENSUS\n{edge.cns_seq}\n")
     return len(edges)
 
 

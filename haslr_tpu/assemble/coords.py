@@ -19,11 +19,20 @@ from haslr_tpu.core.intervals import best_supported_interval
 
 
 def calc_single_edge_coordinates(
-    graph, contigs, lrs, compact, node1, rev1, node2, rev2
+    graph, contigs, lrs, compact, node1, rev1, node2, rev2, fp_log=None
 ) -> None:
     edge1 = graph[node1].edges[rev1][bb.edge_key(node2, rev2)]
     edge2 = graph[node2].edges[1 - rev2][bb.edge_key(node1, 1 - rev1)]
     edge_supp = edge1.edge_supp
+    if fp_log is not None:
+        # record format of the reference log (Assemble.cpp:176-241),
+        # including its "supproting_lr" spelling
+        pm = "+-"
+        fp_log.write(
+            f"edge      {node1}:{pm[rev1]} -> {node2}:{pm[rev2]}\n"
+            f"edge_twin {node2}:{pm[1 - rev2]} -> {node1}:{pm[1 - rev1]}\n"
+            f"\tedge_supp size:{len(edge_supp)}\n"
+        )
 
     def default_coords():
         edge1.cns_supp = []
@@ -48,6 +57,14 @@ def calc_single_edge_coordinates(
     contig2_pos = b2 if rev2 == 0 else e2 - 1
 
     best = sorted(lrs1 & lrs2)
+    if fp_log is not None:
+        fp_log.write(
+            f"    @@@ best interval contig1 {b1} {e1}\n"
+            f"    @@@ best_interval contig2 {b2} {e2}\n"
+            f"coordinates contig1_pos: {contig1_pos}\t"
+            f"contig2_pos: {contig2_pos}\n"
+            f"supproting_lr: {len(best)}\n"
+        )
     if not best:
         default_coords()
         return
@@ -121,15 +138,26 @@ def calc_single_edge_coordinates(
         default_coords()
 
 
-def calc_edge_coordinates(graph, contigs, lrs, compact) -> int:
+def calc_edge_coordinates(graph, contigs, lrs, compact,
+                          log_path: str | None = None) -> int:
     """Coordinates for every unique edge; marks flag 11 like the reference
-    work queue (Assemble.cpp:436-477).  Returns the edge count."""
+    work queue (Assemble.cpp:436-477).  Returns the edge count.
+
+    ``log_path``: when given, a per-edge record log in the reference's
+    ``log_coordinate.txt`` format (main.cpp:203)."""
     n = 0
-    for n1, r1, n2, r2, edge, twin in bb.unique_edges(graph):
-        if edge.flag == 11:
-            continue
-        edge.flag = 11
-        twin.flag = 11
-        calc_single_edge_coordinates(graph, contigs, lrs, compact, n1, r1, n2, r2)
-        n += 1
+    fp_log = open(log_path, "w") if log_path else None
+    try:
+        for n1, r1, n2, r2, edge, twin in bb.unique_edges(graph):
+            if edge.flag == 11:
+                continue
+            edge.flag = 11
+            twin.flag = 11
+            calc_single_edge_coordinates(
+                graph, contigs, lrs, compact, n1, r1, n2, r2, fp_log
+            )
+            n += 1
+    finally:
+        if fp_log:
+            fp_log.close()
     return n

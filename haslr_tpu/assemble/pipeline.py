@@ -191,11 +191,17 @@ def run_assembler(
     bb.report_branching_nodes(graph, f"{out_dir}/backbone.branching.log")
 
     t.note("calculating long read coordinates between anchors...")
-    n_edges = calc_edge_coordinates(graph, contigs, lrs, compact)
+    n_edges = calc_edge_coordinates(
+        graph, contigs, lrs, compact,
+        log_path=f"{out_dir}/log_coordinate.txt",
+    )
     t.elapsed()
 
     t.note("calling consensus sequence between anchors...")
-    calc_consensus(graph, lrs, cfg, mesh=mesh)
+    calc_consensus(
+        graph, lrs, cfg, mesh=mesh,
+        log_path=f"{out_dir}/log_consensus.txt",
+    )
     t.elapsed()
 
     t.note("generating the assembly from the cleaned backbone graph...")

@@ -628,18 +628,17 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
 VOTE_IMPL = "scatter"
 
 
-# --- split single-device engine ---------------------------------------
+# --- single-device engines: fused (production) + split (fallback) -----
 #
-# The single-device path runs as a handful of SMALL jit programs chained
-# over device-resident arrays instead of one fused multi-round program.
-# The fused variant compiled >16 minutes through this machine's remote
-# XLA service (compile time is superlinear in program size); the split
-# programs compile in minutes each, are REUSED across polish rounds and
-# sub-groups (one compile per bucket shape, not per round), and a code
-# edit to the vote stage no longer invalidates the align stage's entry in
-# the persistent compilation cache.  Intermediates (reads, drafts,
-# mapping) never leave the device, so the relay round-trip cost of the
-# round-1 chunked engine does not return.
+# Production dispatches ONE fused multi-round program per bucket
+# (_dense_rounds -> _dense_rounds_fused): with the vote-plane kernel +
+# MXU matmul reduction the program is two pallas calls plus small glue,
+# so the historical >16-minute remote compile of the scatter-based fused
+# variant is gone, and each ~40 ms relay dispatch is paid per BATCH
+# rather than per stage.  The split variant below (_dense_rounds_split:
+# one small jit per stage chained over device-resident arrays) is kept
+# as a fallback and measurement point — its stages compile independently
+# and survive partial cache invalidation when one stage's code changes.
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -840,6 +839,100 @@ def _unpack_host(packed_row: np.ndarray, length: int) -> np.ndarray:
     return out[:length]
 
 
+# oversized-window splitting: drafts longer than the largest device
+# bucket are cut into ~SEG_TARGET-bp colinear segments (each support cut
+# at the homologous position, found by matching a SEG_ANCHOR_K-mer of
+# the draft within +-SEG_SEARCH of the proportional position), polished
+# as ordinary windows, and stitched back by concatenation — the device
+# twin of the reference's handle-every-window SPOA loop
+# (Assemble.cpp:499-555), which has no length cap
+SEG_TARGET = 24576
+SEG_ANCHOR_K = 24
+SEG_SEARCH = 384
+
+
+def _refined_cuts(sup: np.ndarray, draft: np.ndarray,
+                  cuts_d: np.ndarray) -> list[int]:
+    """Cut positions in ``sup`` homologous to draft positions ``cuts_d``.
+
+    For each draft cut, the draft's preceding SEG_ANCHOR_K-mer is matched
+    (max base agreement) inside a +-SEG_SEARCH window around the
+    proportional position in ``sup``; a weak best match (< 75% identity —
+    the read may not span this region) falls back to the proportional
+    position.  Cuts are forced strictly monotone."""
+    L, Lc = len(draft), len(sup)
+    K = SEG_ANCHOR_K
+    out: list[int] = []
+    prev = 0
+    for cd in cuts_d:
+        p0 = int(round(cd * Lc / max(1, L)))
+        best = min(max(p0, prev), Lc)
+        if cd >= K and Lc >= K:
+            pat = draft[cd - K : cd]
+            lo = max(K, p0 - SEG_SEARCH)
+            hi = min(Lc, p0 + SEG_SEARCH)
+            if hi - lo > 0:
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    sup[lo - K : hi], K
+                )
+                scores = (wins == pat[None, :]).sum(axis=1)
+                j = int(np.argmax(scores))
+                if scores[j] >= (3 * K) // 4:
+                    best = lo + j
+        best = min(max(best, prev), Lc)
+        out.append(best)
+        prev = best
+    return [0] + out + [Lc]
+
+
+def _expand_oversized(window_codes, warn):
+    """Replace windows whose median draft exceeds the largest device
+    bucket with colinear segment windows.
+
+    Returns ``(work_windows, plan)`` where ``plan[wi]`` is either
+    ``("one", j)`` (window wi = work window j), ``("cat", [j...])``
+    (window wi = concatenation of those work windows' consensuses), or
+    ``("empty",)``."""
+    work: list[list[np.ndarray]] = []
+    plan: list[tuple] = []
+    n_split = n_seg_total = 0
+    W_top = _band_width(BUCKETS[-1])
+    for codes in window_codes:
+        nonempty = [c for c in codes if len(c) > 0]
+        if not nonempty:
+            plan.append(("empty",))
+            continue
+        by_len = sorted(nonempty, key=len)
+        draft = by_len[len(by_len) // 2]
+        if len(draft) + W_top // 2 <= BUCKETS[-1]:
+            plan.append(("one", len(work)))
+            work.append(codes)
+            continue
+        # split: even draft cuts, homologous support cuts
+        L = len(draft)
+        n_seg = -(-L // SEG_TARGET)
+        cuts_d = np.round(
+            np.arange(1, n_seg) * (L / n_seg)
+        ).astype(np.int64)
+        seg_lists: list[list[np.ndarray]] = [[] for _ in range(n_seg)]
+        for sup in nonempty:
+            cp = _refined_cuts(sup, draft, cuts_d)
+            for s in range(n_seg):
+                seg_lists[s].append(sup[cp[s] : cp[s + 1]])
+        idxs = list(range(len(work), len(work) + n_seg))
+        plan.append(("cat", idxs))
+        work.extend(seg_lists)
+        n_split += 1
+        n_seg_total += n_seg
+    if n_split and warn is not None:
+        warn(
+            f"consensus: {n_split} window(s) beyond the {BUCKETS[-1]} bp "
+            f"device bucket split into {n_seg_total} colinear segments "
+            "for device polish (stitched back after consensus)"
+        )
+    return work, plan
+
+
 def dense_consensus(
     window_codes: list[list[np.ndarray]],
     match: int = 5,
@@ -856,14 +949,43 @@ def dense_consensus(
     notices (windows whose consensus hit the bucket cap).  ``mesh``: an
     optional ``jax.sharding.Mesh`` with a ``dp`` axis; when given, each
     bucket's read batch is sharded across the mesh and vote tables merge
-    with psum — output is bit-identical to the single-device path."""
+    with psum — output is bit-identical to the single-device path.
+
+    Windows whose median draft exceeds the largest device bucket are
+    split into colinear segments, polished as ordinary windows, and
+    stitched back (see :func:`_expand_oversized`)."""
+    work_windows, plan = _expand_oversized(window_codes, warn)
+    work_results = _dense_consensus_work(
+        work_windows, match, mismatch, gap, rounds, warn, mesh
+    )
+    out: list[np.ndarray] = []
+    for entry in plan:
+        if entry[0] == "empty":
+            out.append(np.zeros(0, np.uint8))
+        elif entry[0] == "one":
+            out.append(work_results[entry[1]])
+        else:
+            out.append(np.concatenate([work_results[j] for j in entry[1]]))
+    return out
+
+
+def _dense_consensus_work(
+    window_codes: list[list[np.ndarray]],
+    match: int,
+    mismatch: int,
+    gap: int,
+    rounds: int,
+    warn,
+    mesh,
+) -> list[np.ndarray]:
+    """The bucketed device pipeline over pre-expanded windows (every
+    window here fits a device bucket)."""
     n_win = len(window_codes)
     results: list[np.ndarray | None] = [None] * n_win
 
     # pick drafts + assign buckets on host (cheap)
     groups: dict[int, list[int]] = {}
     drafts0: list[np.ndarray] = []
-    host_wins: list[int] = []
     for wi, codes in enumerate(window_codes):
         nonempty = [c for c in codes if len(c) > 0]
         if not nonempty:
@@ -875,21 +997,10 @@ def dense_consensus(
         drafts0.append(draft)
         S0 = _bucket_size(len(draft))
         W = _band_width(S0)
-        if len(draft) + W // 2 > BUCKETS[-1]:
-            # beyond the largest device bucket (64 kb) an O(L^2) POA is
-            # also memory-infeasible (the reference's SPOA included):
-            # emit the median support unpolished, loudly
-            host_wins.append(wi)
-            results[wi] = draft
-            continue
+        assert len(draft) + W // 2 <= BUCKETS[-1], \
+            "oversized window reached the bucket pipeline unsplit"
         S = _bucket_size(len(draft) + W // 2)
         groups.setdefault(S, []).append(wi)
-    if host_wins and warn is not None:
-        warn(
-            f"consensus: {len(host_wins)} window(s) beyond the "
-            f"{BUCKETS[-1]} bp device bucket; emitting their median "
-            "support unpolished"
-        )
 
     n_dev = 1 if mesh is None else int(mesh.devices.size)
     pending = []

@@ -32,7 +32,13 @@ def remove_overlaps(in_fasta: str, out_fasta: str, kmer_size: int) -> int:
             if incoming:
                 seq = seq[trim:]
             if outgoing:
-                seq = seq[: len(seq) - trim] if trim else seq
+                # the reference computes the kept length in size_t
+                # (nooverlap.cpp:80): when the remaining sequence is
+                # SHORTER than the trim, size()-trim wraps and substr
+                # clamps, leaving the sequence untouched — pinned by
+                # tests/test_nooverlap_crossval.py against the compiled
+                # reference binary
+                seq = seq[: len(seq) - trim] if len(seq) >= trim else seq
             fp.write(f">{rec.name} {rec.comment}\n{seq}\n")
             n += 1
     return n
