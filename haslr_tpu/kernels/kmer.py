@@ -110,36 +110,62 @@ def _rle_compact(sorted_words, n_valid, min_count, weights=None):
     """Run-length count + abundance filter + compaction of sorted word
     columns (device).  ``weights``: optional per-row counts (for merging
     pre-counted streams); default weight 1 per row.  Returns (compacted
-    word columns, counts, n_distinct)."""
+    word columns, counts, n_distinct).
+
+    GATHER-FREE by design: TPU gathers/scatters execute per element, and
+    the original start-index gather + compaction scatter over the padded
+    row count dominated the whole k-mer counter (measured ~575 s of a
+    593 s SR stage at 134M rows).  Instead:
+
+    - per-run totals come from the prefix-sum identity
+      ``count(run) = C[run_end] - C[run_start - 1]`` where ``C`` is the
+      weight cumsum; since ``C`` is nondecreasing, the end-of-run value
+      seen from any row is a REVERSE MIN-SCAN of ``C`` masked to run-end
+      rows — scans, shifts and elementwise ops only;
+    - compaction to the front is ONE more single-key sort (kept rows get
+      their output position as key, dropped rows sort last), which at
+      134M rows costs ~1 s where the scatter path cost minutes.
+    """
     m = sorted_words[0].shape[0]
-    pos = jnp.arange(m)
+    pos = jnp.arange(m, dtype=jnp.int32)
     valid = pos < n_valid
     new = jnp.zeros(m, bool).at[0].set(True)
     for w in sorted_words:
         new = new | jnp.concatenate([jnp.ones(1, bool), w[1:] != w[:-1]])
     new = new & valid
-    seg = jnp.cumsum(new.astype(jnp.int32)) - 1  # run id per position
     wts = (
         weights.astype(jnp.int32)
         if weights is not None
         else jnp.ones(m, jnp.int32)
     )
-    counts = jnp.zeros(m, jnp.int32).at[jnp.where(valid, seg, m - 1)].add(
-        jnp.where(valid, wts, 0)
+    wts = jnp.where(valid, wts, 0)
+    # C[i] = total weight up to row i; counts fit int32 because the
+    # device-resident accumulator is bounded (device_rows_budget rows;
+    # beyond that the caller spills to prefix partitions, each bounded)
+    C = jnp.cumsum(wts)
+    # run ends: the row before each new run start, plus the final row
+    run_end = jnp.concatenate([new[1:], jnp.ones(1, bool)])
+    INF = jnp.int32(2**31 - 1)
+    end_c = jnp.where(run_end, C, INF)
+    # reverse min-scan: for each row, the cumsum at ITS run's end (C is
+    # nondecreasing, so min over later run-ends = own run's end)
+    run_end_c = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(end_c))
     )
-    starts = jnp.nonzero(new, size=m, fill_value=m - 1)[0]
-    run_counts = counts[jnp.arange(m)]
-    n_runs = jnp.sum(new.astype(jnp.int32))
-    keep = (jnp.arange(m) < n_runs) & (run_counts >= min_count)
+    run_counts = run_end_c - (C - wts)  # valid where ``new``
+    keep = new & (run_counts >= min_count)
     out_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    n_keep = jnp.sum(keep.astype(jnp.int32))
-    dump = m - 1
-    tgt = jnp.where(keep, out_idx, dump)
-    out_words = []
-    for w in sorted_words:
-        ow = jnp.zeros(m, w.dtype).at[tgt].set(w[starts])
-        out_words.append(ow)
-    out_counts = jnp.zeros(m, jnp.int32).at[tgt].set(run_counts)
+    n_keep = out_idx[-1] + 1
+    # compaction by sort: kept rows keyed by output position (already in
+    # ascending k-mer order), everything else keyed last.  Non-kept rows
+    # carry 0/0 payloads so the tail matches the old scatter layout
+    # (callers slice [:n_keep]; tests compare padded tails).
+    key = jnp.where(keep, out_idx.astype(jnp.uint32), jnp.uint32(m))
+    payload = [jnp.where(keep, w, 0) for w in sorted_words]
+    payload.append(jnp.where(keep, run_counts, 0))
+    sorted_out = jax.lax.sort((key, *payload), num_keys=1)
+    out_words = list(sorted_out[1:-1])
+    out_counts = sorted_out[-1]
     return out_words, out_counts, n_keep
 
 

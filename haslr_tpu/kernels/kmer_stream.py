@@ -100,9 +100,10 @@ def _count_chunk(packed, offsets, k, min_count, n_off_pad):
     # flag cumsum gives the same mask with one tiny scatter, one scan and
     # two contiguous slices
     total = offsets[n_off_pad - 1]
-    flags = jnp.zeros(n, jnp.int32).at[
-        jnp.clip(offsets, 0, n - 1)
-    ].set(1, mode="drop")
+    # no clip: an offset == n (data exactly filling the array) has no
+    # k-mer crossing it and must NOT alias onto position n-1 — mode="drop"
+    # discards out-of-range offsets outright
+    flags = jnp.zeros(n, jnp.int32).at[offsets].set(1, mode="drop")
     csum = jnp.cumsum(flags)
     i = jnp.arange(m, dtype=jnp.int32)
     inner = jax.lax.dynamic_slice(csum, (k - 1,), (m,)) - csum[:m]
@@ -360,7 +361,11 @@ def count_kmers_streaming(
                 _spill_acc_to_host()
             else:
                 while acc_cap < acc_off + m:
-                    new_cap = max(_pow2(2 * m), 2 * acc_cap)
+                    # clamped to max_cap so the HBM budget is a strict
+                    # bound (the pre-check guarantees acc_off+m fits)
+                    new_cap = min(
+                        max(_pow2(2 * m), 2 * acc_cap), max_cap
+                    )
                     new = _acc_alloc(n_words + 1, new_cap)
                     acc = new if acc is None else _acc_grow(new, acc)
                     acc_cap = new_cap

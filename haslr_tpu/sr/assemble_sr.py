@@ -12,11 +12,17 @@ unitig graph before re-compaction (minia's contig-level simplification);
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from haslr_tpu.core import io as cio
 from haslr_tpu.core import seq as cseq
 from haslr_tpu.sr import dbg
+
+# wall-clock of the last assemble_short_reads call, by phase (count /
+# compact / write); PROF.clear() to reset — mirrors kmer_stream.PROF
+PROF: dict[str, float] = {}
 
 
 def load_read_codes(paths: list[str]) -> np.ndarray:
@@ -114,6 +120,8 @@ def assemble_short_reads(
     spill_dir: str | None = None,
     mesh=None,
 ) -> int:
+    PROF.clear()
+    t0 = time.time()
     if streaming is None:
         import os
 
@@ -121,12 +129,16 @@ def assemble_short_reads(
         streaming = device and (total > STREAMING_THRESHOLD
                                 or mesh is not None)
     if streaming:
+        from haslr_tpu.kernels import kmer_stream
         from haslr_tpu.kernels.kmer_stream import count_kmers_streaming
 
+        kmer_stream.PROF.clear()
         hi, lo, cnt = count_kmers_streaming(
             iter_read_codes(read_paths), kmer_size, min_abundance,
             spill_dir=spill_dir, mesh=mesh,
         )
+        PROF.update({f"count.{k2}": v
+                     for k2, v in kmer_stream.PROF.items()})
     else:
         from haslr_tpu.kernels import kmer as kk
 
@@ -137,6 +149,9 @@ def assemble_short_reads(
         else:
             hi, lo, cnt = kk.count_kmers_host(codes, kmer_size,
                                               min_abundance)
+    PROF["count"] = time.time() - t0
+    PROF["n_solid"] = float(len(hi))
+    t0 = time.time()
     if asm_type == "contigs":
         # minia's contig-level simplification: coverage-ranked simple-
         # bubble popping (het SNPs / error bulges), then tip clipping
@@ -144,5 +159,8 @@ def assemble_short_reads(
         unitigs = _clip_tips(unitigs, kmer_size)
     else:
         unitigs = dbg.unitigs_from_counts(hi, lo, cnt, kmer_size)
+    PROF["compact"] = time.time() - t0
+    t0 = time.time()
     dbg.write_unitigs_fasta(unitigs, out_fasta)
+    PROF["write"] = time.time() - t0
     return len(unitigs)
