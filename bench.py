@@ -268,6 +268,37 @@ def main():
     from haslr_tpu.kernels.consensus_dense import PROF
 
     extras["prof_phases_s"] = {k: round(v, 2) for k, v in PROF.items()}
+
+    # utilization: banded-NW DP cell-updates/s on the chip.  Cell count
+    # is computed from the actual workload (per read, (r_len + d_len)
+    # anti-diagonals x W=128 band lanes, x 2 polish rounds; the second
+    # round's draft length ~= the first's consensus ~= the median —
+    # approximation is a few %).  The denominator is the measured device
+    # phase over the 3 timed runs, which ALSO includes the in-kernel
+    # traceback and the MXU vote reduction, so this understates the pure
+    # DP rate.  Peak reference: the v5e VPU retires ~3.9e12 int32
+    # lane-ops/s (8x128 lanes x 4 ALUs x ~0.94 GHz); at the kernel's
+    # ~30 lane-ops per DP cell the compute-bound ceiling is ~1.3e11
+    # cells/s (see DESIGN.md "Consensus kernel roofline").
+    try:
+        cells = 0
+        for w in windows:
+            lens = sorted(len(s) for s in w)
+            d = lens[len(lens) // 2]
+            for s in w:
+                cells += (len(s) + d) * 128
+        cells *= 2  # polish rounds
+        dev_s = sum(
+            v for k, v in PROF.items() if k.startswith("device")
+        ) / 3.0
+        if dev_s > 0:
+            rate = cells / dev_s
+            extras["dp_cells_per_s"] = round(rate, -6)
+            extras["dp_cells_pct_of_ceiling"] = round(
+                100.0 * rate / 1.3e11, 1
+            )
+    except Exception:
+        pass
     print(json.dumps({**headline, **extras}), flush=True)
 
 

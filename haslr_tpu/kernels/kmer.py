@@ -106,6 +106,47 @@ def _word_spans(k: int):
     return spans
 
 
+_SCAN_COLS = 1 << 13
+
+
+def _cumsum_1d(x):
+    """Inclusive int32 cumsum, 2D-TILED for large arrays: a direct 1-D
+    scan at 10^8 elements unrolls into dozens of full-array HLO stages
+    (very slow remote compiles); reshaping to (rows, 8192) does the lane-
+    dim scan in 13 stages over 2D blocks plus one small row-offset scan."""
+    m = x.shape[0]
+    if m <= _SCAN_COLS * 4:
+        return jnp.cumsum(x)
+    rows = -(-m // _SCAN_COLS)
+    pad = rows * _SCAN_COLS - m
+    g = jnp.pad(x, (0, pad)).reshape(rows, _SCAN_COLS)
+    within = jnp.cumsum(g, axis=1)
+    row_tot = within[:, -1]
+    offs = jnp.cumsum(row_tot) - row_tot
+    return (within + offs[:, None]).reshape(-1)[:m]
+
+
+def _rev_cummin_1d(x):
+    """Reverse (suffix) min-scan: out[i] = min(x[i:]), tiled like
+    :func:`_cumsum_1d`; pads with int32 max so the tail is neutral."""
+    m = x.shape[0]
+    if m <= _SCAN_COLS * 4:
+        return jax.lax.cummin(x, axis=0, reverse=True)
+    rows = -(-m // _SCAN_COLS)
+    pad = rows * _SCAN_COLS - m
+    INF = np.int32(2**31 - 1)
+    g = jnp.pad(x, (0, pad), constant_values=INF) \
+        .reshape(rows, _SCAN_COLS)
+    within = jax.lax.cummin(g, axis=1, reverse=True)
+    row_min = within[:, 0]
+    # min over STRICTLY LATER rows: shift the suffix-min down by one
+    later = jnp.concatenate(
+        [jax.lax.cummin(row_min, axis=0, reverse=True)[1:],
+         jnp.full(1, INF, row_min.dtype)]
+    )
+    return jnp.minimum(within, later[:, None]).reshape(-1)[:m]
+
+
 def _rle_compact(sorted_words, n_valid, min_count, weights=None):
     """Run-length count + abundance filter + compaction of sorted word
     columns (device).  ``weights``: optional per-row counts (for merging
@@ -142,19 +183,17 @@ def _rle_compact(sorted_words, n_valid, min_count, weights=None):
     # C[i] = total weight up to row i; counts fit int32 because the
     # device-resident accumulator is bounded (device_rows_budget rows;
     # beyond that the caller spills to prefix partitions, each bounded)
-    C = jnp.cumsum(wts)
+    C = _cumsum_1d(wts)
     # run ends: the row before each new run start, plus the final row
     run_end = jnp.concatenate([new[1:], jnp.ones(1, bool)])
     INF = jnp.int32(2**31 - 1)
     end_c = jnp.where(run_end, C, INF)
     # reverse min-scan: for each row, the cumsum at ITS run's end (C is
     # nondecreasing, so min over later run-ends = own run's end)
-    run_end_c = jnp.flip(
-        jax.lax.associative_scan(jnp.minimum, jnp.flip(end_c))
-    )
+    run_end_c = _rev_cummin_1d(end_c)
     run_counts = run_end_c - (C - wts)  # valid where ``new``
     keep = new & (run_counts >= min_count)
-    out_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    out_idx = _cumsum_1d(keep.astype(jnp.int32)) - 1
     n_keep = out_idx[-1] + 1
     # compaction by sort: kept rows keyed by output position (already in
     # ascending k-mer order), everything else keyed last.  Non-kept rows

@@ -451,3 +451,34 @@ def test_fastutils(tmp_path):
     recs = list(cio.read_fastx(str(sub)))
     assert [len(r.seq) for r in recs] == [300, 200]
     assert [r.name for r in recs] == ["0", "1"]
+
+
+def test_subsample_streaming_same_set(tmp_path):
+    """The streaming two-pass subsample keeps the SAME read set as the
+    in-RAM path (order differs: input order vs length order), at every
+    budget including tie-heavy ones."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    b = tmp_path / "b.fa"
+    lens = list(rng.integers(50, 500, 60)) + [250] * 10  # ties
+    with b.open("w") as fp:
+        for i, L in enumerate(lens):
+            fp.write(f">r{i}\n" + "ACGT"[i % 4] * int(L) + "\n")
+    for depth, gsize in [(1.0, 3000), (2.5, 2000), (1.0, 10**9), (0.0, 1)]:
+        ram = tmp_path / "ram.fa"
+        stream = tmp_path / "stream.fa"
+        n1 = fastutils.subsample_longest(
+            [str(b)], str(ram), depth, gsize, streaming=False
+        )
+        n2 = fastutils.subsample_longest(
+            [str(b)], str(stream), depth, gsize, streaming=True
+        )
+        assert n1 == n2
+        set1 = sorted(r.seq for r in cio.read_fastx(str(ram)))
+        set2 = sorted(r.seq for r in cio.read_fastx(str(stream)))
+        assert set1 == set2
+        # ids are sequential in both modes
+        assert [r.name for r in cio.read_fastx(str(stream))] == [
+            str(i) for i in range(n2)
+        ]
