@@ -32,21 +32,51 @@ def genome_with_repeats(
     n_families: int = 2,
     copies_per_family: int = 4,
     repeat_len: int = 400,
-) -> str:
+    divergence: float = 0.0,
+    return_layout: bool = False,
+    base: str | None = None,
+):
     """Random genome with interspersed repeat copies.
 
     Repeats are what fragment a de Bruijn assembly into contigs — the
-    structure HASLR's backbone graph exists to bridge.  Copies are exact
-    (worst case for the assembler's uniqueness filters) and placed at
-    random positions, some reverse-complemented.
-    """
-    g = list(random_genome(rng, length))
+    structure HASLR's backbone graph exists to bridge.  By default copies
+    are exact (worst case for the assembler's uniqueness filters) and
+    placed at random positions, some reverse-complemented.
+
+    ``divergence > 0`` substitutes that fraction of each COPY's bases
+    independently (e.g. 0.02 => ~98% identity between copies) — the
+    diverged-family regime real genomes show, which stresses the
+    aligner's MAPQ competitor suppression rather than the k-mer
+    uniqueness filters.
+
+    ``return_layout=True`` additionally returns the planted copy
+    positions as ``[(family, pos, repeat_len), ...]`` (later copies may
+    overwrite earlier ones at overlapping positions).
+
+    ``base``: plant into this sequence instead of a fresh random genome
+    (layering exact + diverged families on one genome)."""
+    g = list(base if base is not None else random_genome(rng, length))
+    assert len(g) == length
     families = [random_genome(rng, repeat_len) for _ in range(n_families)]
-    for fam in families:
+    layout = []
+    for fi, fam in enumerate(families):
         for _ in range(copies_per_family):
             pos = int(rng.integers(0, length - repeat_len))
-            s = fam if rng.random() < 0.5 else cseq.revcomp(fam)
+            layout.append((fi, pos, repeat_len))
+            copy = fam
+            if divergence > 0:
+                chars = list(copy)
+                n_mut = rng.binomial(repeat_len, divergence)
+                for i in rng.choice(repeat_len, n_mut, replace=False):
+                    alt = BASES[rng.integers(0, 4)]
+                    while alt == chars[i]:
+                        alt = BASES[rng.integers(0, 4)]
+                    chars[i] = alt
+                copy = "".join(chars)
+            s = copy if rng.random() < 0.5 else cseq.revcomp(copy)
             g[pos : pos + repeat_len] = list(s)
+    if return_layout:
+        return "".join(g), layout
     return "".join(g)
 
 
@@ -73,24 +103,43 @@ class SimRead:
     is_sub: list = field(default_factory=list)
 
 
-def mutate_with_trace(rng, template: str, error_rate: float):
+def mutate_with_trace(rng, template: str, error_rate: float,
+                      homopolymer_bias: float = 0.0):
     """Apply sub/ins/del errors; return (seq, ops, is_sub).
 
     ``ops[i]`` = ('M'|'D', n_insertions_after) for template position i;
     ``is_sub[i]`` marks substituted positions (alignment column still M).
-    """
+
+    ``homopolymer_bias``: per extra base of the homopolymer run a
+    position sits in, the INDEL share of its error rate grows by this
+    factor (capped at 5x) and inserted bases copy the run's base — the
+    dominant PacBio CLR / ONT error mode (run-length miscalls), which
+    the reference's ``-Hk17`` homopolymer-compressed preset exists for
+    (``bin/haslr.py:90-95``).  0 keeps the legacy uniform iid model
+    byte-for-byte (same RNG consumption)."""
     out = []
     ops = []
     is_sub = []
     third = error_rate / 3
-    for ch in template:
+    run = 0
+    prev = ""
+    for i, ch in enumerate(template):
+        run = run + 1 if ch == prev else 1
+        prev = ch
+        if homopolymer_bias > 0.0:
+            scale = min(1.0 + homopolymer_bias * (run - 1), 5.0)
+            p_del = third * scale
+            p_sub = third
+            p_ins = third * scale
+        else:
+            p_del = p_sub = p_ins = third
         r = rng.random()
         n_ins = 0
-        if r < third:
+        if r < p_del:
             ops.append(("D", 0))
             is_sub.append(False)
             continue
-        if r < 2 * third:
+        if r < p_del + p_sub:
             alt = BASES[rng.integers(0, 4)]
             while alt == ch:
                 alt = BASES[rng.integers(0, 4)]
@@ -99,9 +148,13 @@ def mutate_with_trace(rng, template: str, error_rate: float):
         else:
             out.append(ch)
             is_sub.append(False)
-        if r >= 2 * third and r < error_rate:
+        if p_del + p_sub <= r < p_del + p_sub + p_ins:
             n_ins = 1
-            out.append(BASES[rng.integers(0, 4)])
+            if homopolymer_bias > 0.0 and run > 1:
+                out.append(ch)  # run-length overcall: duplicate the base
+                rng.integers(0, 4)  # keep RNG stream aligned
+            else:
+                out.append(BASES[rng.integers(0, 4)])
         ops.append(("M", n_ins))
     return "".join(out), ops, is_sub
 
@@ -145,6 +198,7 @@ def make_reads(
     coverage: float = 20.0,
     mean_len: int = 8000,
     error_rate: float = 0.06,
+    homopolymer_bias: float = 0.0,
 ) -> list[SimRead]:
     n = len(genome)
     total = 0
@@ -154,7 +208,9 @@ def make_reads(
         rlen = min(rlen, n)
         start = int(rng.integers(0, n - rlen + 1))
         template = genome[start : start + rlen]
-        seq, ops, is_sub = mutate_with_trace(rng, template, error_rate)
+        seq, ops, is_sub = mutate_with_trace(
+            rng, template, error_rate, homopolymer_bias
+        )
         strand = int(rng.random() < 0.5)
         if strand:
             seq = cseq.revcomp(seq)

@@ -72,3 +72,68 @@ def test_pipeline_from_raw_reads(tmp_path):
         "-s", sr_path, "--minia-kmer", "49", "--cov-lr", "25",
     ])
     assert rc == 0
+
+
+def test_pipeline_nanopore_grade_errors(tmp_path):
+    """End-to-end at the HARD error regime: 11% homopolymer-biased long-
+    read error (ONT-like) over a genome with 98%-identity diverged repeat
+    families, nanopore preset.  The assembly must still reconstruct the
+    genome: high interior 31-mer recall and NG50 in the
+    backbone-bridging regime (far above the SR contig N50)."""
+    rng = np.random.default_rng(23)
+    # exact families fragment the SR assembly (so a real backbone
+    # exists); diverged families layered on top stress the aligner
+    G = 80_000
+    genome = simulate.genome_with_repeats(
+        rng, G, n_families=3, copies_per_family=5, repeat_len=400,
+    )
+    genome = simulate.genome_with_repeats(
+        rng, G, n_families=2, copies_per_family=4, repeat_len=400,
+        divergence=0.02, base=genome,
+    )
+    srs = simulate.make_short_reads(rng, genome, coverage=45.0)
+    sr_path = str(tmp_path / "sr.fq")
+    simulate.write_short_reads(sr_path, srs)
+    lrs = simulate.make_reads(
+        rng, genome, coverage=22.0, mean_len=9000, error_rate=0.11,
+        homopolymer_bias=1.0,
+    )
+    lr_path = str(tmp_path / "lr.fa")
+    with open(lr_path, "w") as fp:
+        for r in lrs:
+            fp.write(f">sim{r.rid}\n{r.seq}\n")
+
+    from haslr_tpu.cli.haslr import main
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "-o", out, "-g", "80k", "-l", lr_path, "-x", "nanopore",
+        "-s", sr_path,
+    ])
+    assert rc == 0
+    import glob
+
+    final = glob.glob(f"{out}/asm_*/asm.final.fa")[0]
+    recs = list(cio.read_fastx(final))
+    assert recs, "no contigs assembled"
+    lens = sorted((len(r.seq) for r in recs), reverse=True)
+    # NG50 over the known genome size
+    half, acc, ng50 = len(genome) / 2, 0, 0
+    for L in lens:
+        acc += L
+        if acc >= half:
+            ng50 = L
+            break
+    gk = kmer_set(genome[1000:-1000])
+    ak = set()
+    for r in recs:
+        ak |= kmer_set(r.seq)
+    recall = len(gk & ak) / len(gk)
+    # capability bars, not perfection: at 11% error a fraction of
+    # alignments genuinely fails the reference's identity/MAPQ gates
+    # (aln-sim 0.85, MAPQ 55 — the same filters the reference applies,
+    # Longread.cpp:262-272), so some weak edges drop and coverage is
+    # lost with them.  Measured 0.77 recall / 36.8 kb NG50 at this
+    # config; the bars guard against regression with margin.
+    assert recall >= 0.70, recall
+    assert ng50 >= 20_000, (ng50, lens[:5])
