@@ -627,6 +627,10 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
 # tables (tested) — the default is whichever measured faster on the chip
 VOTE_IMPL = "scatter"
 
+# test knob: cap the per-dispatch read batch so sub-group splitting can
+# be exercised at CI scale (None = hardware-derived limits)
+MAX_B_OVERRIDE: int | None = None
+
 
 # --- single-device engines: fused (production) + split (fallback) -----
 #
@@ -1006,6 +1010,7 @@ def _dense_consensus_work(
     pending = []
     for S, wins in sorted(groups.items()):
         W = _band_width(S)
+        cap = MAX_B_OVERRIDE
         # split oversized groups only when the XLA scan fallback would
         # materialize its (2S+1, B, W) direction tensor; the Pallas path
         # keeps directions in per-program VMEM scratch, so one call can
@@ -1018,6 +1023,8 @@ def _dense_consensus_work(
             max_b = 65536 * n_dev
         else:
             max_b = max(64, n_dev * (1 << 30) // ((2 * S + 1) * W))
+        if cap is not None:
+            max_b = min(max_b, cap)
         sub: list[list[int]] = [[]]
         sub_pairs = [0]
         acc = 0
@@ -1150,6 +1157,7 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
     flat = pack2(flat)
 
     _prof("pack", _time.time() - _t0)
+    _prof("n_dispatch", 1)
     _t0 = _time.time()
     if mesh is None:
         meta = np.concatenate([ro, rl, wx, do, dl]).astype(np.int32)

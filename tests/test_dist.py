@@ -171,3 +171,54 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_consensus_multibucket_multisubgroup():
+    """VERDICT r3 weak #7: the mesh path through MULTI-BUCKET,
+    MULTI-SUB-GROUP workloads.  MAX_B_OVERRIDE forces the per-dispatch
+    read cap down so every bucket splits into several sub-groups (the
+    `max_b` path never exercised under a mesh before); windows span
+    three buckets.  Sharded output must stay bit-identical to the
+    single-device run, and the dispatch counter must show real
+    splitting."""
+    from haslr_tpu.dist.mesh import make_mesh
+    from haslr_tpu.kernels import consensus_dense as cd
+    from haslr_tpu.kernels.consensus import batched_consensus
+
+    rng = np.random.default_rng(29)
+    bases = "ACGT"
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.015:
+                continue
+            if r < 0.03:
+                out.append(bases[rng.integers(0, 4)])
+            else:
+                out.append(ch)
+                if r < 0.045:
+                    out.append(bases[rng.integers(0, 4)])
+        return "".join(out)
+
+    windows = []
+    for L in (90, 100, 110, 220, 240, 260, 300, 460, 470, 480, 490, 500):
+        true = "".join(bases[i] for i in rng.integers(0, 4, L))
+        windows.append([mutate(true) for _ in range(9)])
+
+    old = cd.MAX_B_OVERRIDE
+    cd.MAX_B_OVERRIDE = 24  # < reads of 3 windows -> several sub-groups
+    try:
+        cd.PROF.clear()
+        single = batched_consensus(windows)
+        n_single = cd.PROF.get("n_dispatch", 0)
+        cd.PROF.clear()
+        sharded = batched_consensus(windows, mesh=make_mesh(8))
+        n_sharded = cd.PROF.get("n_dispatch", 0)
+    finally:
+        cd.MAX_B_OVERRIDE = old
+    assert single == sharded
+    # 3 buckets (128/256/512) x >= 2 sub-groups each
+    assert n_single >= 6, n_single
+    assert n_sharded >= 6, n_sharded
