@@ -115,22 +115,41 @@ def _count_chunk(packed, offsets, k, min_count, n_off_pad):
                         min_count)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@jax.jit
+def _merge_sort(words_stack, counts):
+    """The sort half of the partition merge (own program — see below)."""
+    cols = tuple(words_stack[i] for i in range(words_stack.shape[0]))
+    return jax.lax.sort(cols + (counts,), num_keys=len(cols))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _merge_rle(sorted_all, n_rows, min_count):
+    """The RLE half of the partition merge (own program — see below)."""
+    sorted_words = list(sorted_all[:-1])
+    sorted_counts = sorted_all[-1]
+    return _rle_compact(sorted_words, n_rows, min_count,
+                        weights=sorted_counts)
+
+
 def _merge_partition(words_stack, counts, n_rows, min_count):
     """Merge pre-counted rows (device): sort by k-mer words, sum counts of
     equal k-mers, abundance-filter.  ``words_stack``: (n_words, m); the
     ``m - n_rows`` pad rows are all-FULL on every word, which no canonical
     k-mer can be (the canonical form of T^k is A^k), so they sort strictly
     last and the ``n_rows`` prefix of the sorted stream is exactly the
-    real rows."""
-    cols = tuple(words_stack[i] for i in range(words_stack.shape[0]))
-    sorted_all = jax.lax.sort(
-        cols + (counts,), num_keys=len(cols)
-    )
-    sorted_words = list(sorted_all[:-1])
-    sorted_counts = sorted_all[-1]
-    return _rle_compact(sorted_words, n_rows, min_count,
-                        weights=sorted_counts)
+    real rows.
+
+    Deliberately TWO dispatches, not one fused jit: measured on the v5e,
+    the sort (1.2 s at 2^27) and the RLE compaction (0.7 s) each run at
+    full speed as separate programs, but XLA's fusion of
+    sort -> scans -> compaction-sort into one program ran 56 s — the
+    fused schedule defeats the fast sort path.  The intermediate stays
+    on device; the extra dispatch costs ~30 ms.  (Inside jit/shard_map
+    callers the two programs inline back into one — the sharded merge
+    operates at per-device partition sizes where the pathology is not
+    material.)"""
+    sorted_all = _merge_sort(words_stack, counts)
+    return _merge_rle(tuple(sorted_all), n_rows, min_count)
 
 
 def _pow2(n: int, floor: int = 1024) -> int:
@@ -163,9 +182,6 @@ def _acc_insert(acc, words, counts, n_keep, offset):
     return jax.lax.dynamic_update_slice(acc, block, (0, offset))
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
-def _acc_grow(acc_new, acc_old):
-    return jax.lax.dynamic_update_slice(acc_new, acc_old, (0, 0))
 
 
 @functools.lru_cache(maxsize=None)
@@ -320,7 +336,12 @@ def count_kmers_streaming(
     def _self_compact():
         """Merge the accumulator in place (sort + RLE at min_count=1):
         acc_off shrinks to ~the distinct row count so far, so the device
-        path scales to any input whose DISTINCT k-mers fit the budget."""
+        path scales to any input whose DISTINCT k-mers fit the budget.
+
+        The re-insert slices at the FIXED shape acc_cap//2 (one compiled
+        program, not one per distinct-row count); if the distinct rows
+        exceed that, the caller's budget check spills to the host
+        partition store."""
         nonlocal acc, acc_off
         import time as _time
 
@@ -330,10 +351,24 @@ def count_kmers_streaming(
             acc[:-1], acc[-1], np.int32(real), 1
         )
         nk2i = int(nk2)
-        nkp = _pow2(nk2i, 1024)
-        acc = _acc_alloc(n_words + 1, acc_cap)
+        nkp = acc_cap // 2
+        if nk2i > nkp:
+            # distinct rows no longer fit half the budget: leave the
+            # merged rows where they are and let the budget check spill
+            acc_keeps.clear()
+            acc_keeps.append(np.int32(nk2i))
+            acc_segs.clear()
+            acc_segs.append((0, acc_cap))
+            acc = _acc_insert(
+                _acc_alloc(n_words + 1, acc_cap),
+                tuple(ow), oc, nk2, np.int32(0),
+            )
+            acc_off = acc_cap
+            _prof("acc_compact", _time.time() - _t0)
+            return
         acc = _acc_insert(
-            acc, tuple(w[:nkp] for w in ow), oc[:nkp], nk2,
+            _acc_alloc(n_words + 1, acc_cap),
+            tuple(w[:nkp] for w in ow), oc[:nkp], nk2,
             np.int32(0),
         )
         acc_keeps.clear()
@@ -351,24 +386,26 @@ def count_kmers_streaming(
         if device_mode:
             _t0 = _time.time()
             m = out_words[0].shape[0]
-            if acc_off + m > max_cap and acc is not None:
+            cap_now = acc_cap if acc is not None else max_cap
+            if acc_off + m > cap_now and acc is not None:
                 _prof("phase1_acc", _time.time() - _t0)
                 _self_compact()
                 _t0 = _time.time()
-            if acc_off + m > max_cap:
+            if acc_off + m > cap_now:
                 # even compacted, the distinct rows exceed the budget
                 _prof("phase1_acc", _time.time() - _t0)
                 _spill_acc_to_host()
             else:
-                while acc_cap < acc_off + m:
-                    # clamped to max_cap so the HBM budget is a strict
-                    # bound (the pre-check guarantees acc_off+m fits)
-                    new_cap = min(
-                        max(_pow2(2 * m), 2 * acc_cap), max_cap
-                    )
-                    new = _acc_alloc(n_words + 1, new_cap)
-                    acc = new if acc is None else _acc_grow(new, acc)
-                    acc_cap = new_cap
+                if acc is None:
+                    # ONE allocation, sized once: on this platform every
+                    # distinct program shape costs ~a minute of first-
+                    # call overhead per process (even compile-cached),
+                    # so the historical doubling grow chain (alloc/grow
+                    # per cap) was far more expensive than the memory it
+                    # saved.  16 chunks of headroom before the first
+                    # self-compact, clamped to the budget.
+                    acc_cap = min(max_cap, _pow2(16 * m))
+                    acc = _acc_alloc(n_words + 1, acc_cap)
                 acc = _acc_insert(
                     acc, tuple(out_words), out_counts, n_keep,
                     np.int32(acc_off),
@@ -384,17 +421,21 @@ def count_kmers_streaming(
         if nk == 0:
             return
         _t0 = _time.time()
+        nkp = min(_pow2(nk, 1024), out_words[0].shape[0])
         rows = np.stack(
-            [np.asarray(w[:nk]) for w in out_words]
-            + [np.asarray(out_counts[:nk]).astype(np.uint32)]
+            [np.asarray(w[:nkp])[:nk] for w in out_words]
+            + [np.asarray(out_counts[:nkp])[:nk].astype(np.uint32)]
         )
         _store_rows(rows)
         _prof("phase1_d2h_split", _time.time() - _t0)
 
+    n_flushed = 0
+    off_floor = 64
+
     def flush():
         import time as _time
 
-        nonlocal buf, buf_len
+        nonlocal buf, buf_len, n_flushed, off_floor
         if not buf:
             return
         _t0 = _time.time()
@@ -402,12 +443,23 @@ def count_kmers_streaming(
         offsets = np.zeros(len(buf) + 1, np.int64)
         np.cumsum([len(b) for b in buf], out=offsets[1:])
         buf, buf_len = [], 0
-        n_pad = _pow2(len(codes) + 4)
+        # ONE padded shape for every chunk of a multi-chunk run (incl.
+        # the final partial chunk): each distinct shape is a distinct
+        # compiled program, and first-call program overhead on this
+        # platform (~a minute each, even compile-cached) dwarfs the
+        # wasted sort slots
+        n_pad = (
+            _pow2(max(len(codes) + 4, chunk_bases))
+            if n_flushed > 0
+            else _pow2(len(codes) + 4)
+        )
+        n_flushed += 1
         packed = pack2(codes)
         packed = np.concatenate(
             [packed, np.zeros(n_pad // 4 - len(packed), np.uint8)]
         )
-        n_off = _pow2(len(offsets), 64)
+        n_off = _pow2(len(offsets), off_floor)
+        off_floor = max(off_floor, n_off)
         off_pad = np.full(n_off, offsets[-1], np.int32)
         off_pad[: len(offsets)] = offsets
         in_flight.append(_count_chunk(
@@ -437,8 +489,11 @@ def count_kmers_streaming(
     def emit(out_words, out_counts, nk):
         if nk == 0:
             return
-        words = [np.asarray(w[:nk]) for w in out_words]
-        counts = np.asarray(out_counts[:nk]).astype(np.int64)
+        # slice at a power-of-two shape, trim on host: exact-size device
+        # slices would mint one compiled program per distinct row count
+        nkp = min(_pow2(nk, 1024), out_words[0].shape[0])
+        words = [np.asarray(w[:nkp])[:nk] for w in out_words]
+        counts = np.asarray(out_counts[:nkp])[:nk].astype(np.int64)
         hi, lo = _words_to_pair(words, k)
         his.append(hi)
         los.append(lo)

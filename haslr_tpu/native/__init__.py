@@ -22,6 +22,7 @@ _SOURCES = [
     os.path.join(_DIR, "chain.cpp"),
     os.path.join(_DIR, "mapcig.cpp"),
     os.path.join(_DIR, "poa.cpp"),
+    os.path.join(_DIR, "kmer.cpp"),
 ]
 _lib = None
 _tried = False
@@ -92,6 +93,21 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64, ctypes.c_int,
         ctypes.c_int,
     ]
+    # canonical k-mer counting
+    lib.hx_kmer_count.restype = ctypes.c_void_p
+    lib.hx_kmer_count.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+    ]
+    lib.hx_kmer_n.restype = ctypes.c_uint64
+    lib.hx_kmer_n.argtypes = [ctypes.c_void_p]
+    for fn in ("hx_kmer_hi", "hx_kmer_lo"):
+        getattr(lib, fn).restype = ctypes.POINTER(ctypes.c_uint64)
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.hx_kmer_cnt.restype = ctypes.POINTER(ctypes.c_uint32)
+    lib.hx_kmer_cnt.argtypes = [ctypes.c_void_p]
+    lib.hx_kmer_free.restype = None
+    lib.hx_kmer_free.argtypes = [ctypes.c_void_p]
     # anchor chaining
     lib.hx_chain_run.restype = ctypes.c_void_p
     lib.hx_chain_run.argtypes = [
@@ -271,6 +287,47 @@ def chain_anchors_native(t_pos, q_pos, k, window, max_gap, min_score,
         ]
     finally:
         lib.hx_chain_free(h)
+
+
+def count_kmers_native(codes, offsets, k: int, min_count: int = 1,
+                       n_threads: int = 1):
+    """Canonical k-mer counts over reads given as one flat 2-bit code
+    array + record offsets (the native fastx reader's layout); returns
+    sorted (hi, lo, counts) — the exact contract of
+    ``kernels.kmer.count_kmers_host`` — or None when the native library
+    is unavailable.
+
+    This is the production single-host counting path (the minia stage,
+    ``bin/haslr.py:180``): an O(1)-rolling canonical hash count with
+    per-thread hash shards, no device round trips.  See native/kmer.cpp
+    for why this beats the relay-bound device counter on this
+    deployment."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
+    n_reads = len(offsets) - 1
+    h = lib.hx_kmer_count(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_reads, k, min_count, n_threads,
+    )
+    if not h:
+        return None
+    try:
+        n = lib.hx_kmer_n(h)
+        if n == 0:
+            z = np.zeros(0, np.uint64)
+            return z, z, np.zeros(0, np.int64)
+        hi = np.ctypeslib.as_array(lib.hx_kmer_hi(h), shape=(n,)).copy()
+        lo = np.ctypeslib.as_array(lib.hx_kmer_lo(h), shape=(n,)).copy()
+        cnt = np.ctypeslib.as_array(
+            lib.hx_kmer_cnt(h), shape=(n,)
+        ).astype(np.int64)
+        return hi, lo, cnt
+    finally:
+        lib.hx_kmer_free(h)
 
 
 def dbg_unitigs(hi, lo, cnt, k: int, pop_rounds: int = 0):

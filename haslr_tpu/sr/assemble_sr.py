@@ -109,6 +109,36 @@ def _clip_tips(unitigs, k: int, min_tip_len: int | None = None,
 STREAMING_THRESHOLD = 1 << 28
 
 
+def _count_native(read_paths, kmer_size, min_abundance):
+    """Native host counting over the fastx reader's flat layout; None
+    when the native library is unavailable."""
+    import os
+
+    from haslr_tpu import native
+
+    parts = []
+    for path in read_paths:
+        nat = native.read_fastx_encoded(path)
+        if nat is None:
+            return None
+        codes, offsets, _n, _c = nat
+        parts.append((codes, offsets))
+    if len(parts) == 1:
+        codes, offsets = parts[0]
+    else:
+        codes = np.concatenate([p[0] for p in parts])
+        offs = [parts[0][1]]
+        base = len(parts[0][0])
+        for p in parts[1:]:
+            offs.append(p[1][1:] + base)
+            base += len(p[0])
+        offsets = np.concatenate(offs)
+    return native.count_kmers_native(
+        codes, offsets, kmer_size, min_abundance,
+        n_threads=os.cpu_count() or 1,
+    )
+
+
 def assemble_short_reads(
     read_paths: list[str],
     out_fasta: str,
@@ -120,11 +150,26 @@ def assemble_short_reads(
     spill_dir: str | None = None,
     mesh=None,
 ) -> int:
+    """SR assembly stage.  Counting-engine selection:
+
+    - ``mesh`` set (or ``streaming=True``): the prefix-partitioned
+      device counter (multi-chip path; bit-identical output);
+    - otherwise: the native host counter (production single-host path —
+      see native/kmer.cpp), falling back to the device / numpy counters
+      when the native library is unavailable.
+    """
     PROF.clear()
     t0 = time.time()
     if streaming is None:
         import os
 
+        if mesh is None and kmer_size <= 64:
+            counted = _count_native(read_paths, kmer_size, min_abundance)
+            if counted is not None:
+                hi, lo, cnt = counted
+                PROF["count_engine"] = "native"
+                return _finish(hi, lo, cnt, kmer_size, asm_type,
+                               out_fasta, t0)
         total = sum(os.path.getsize(p) for p in read_paths)
         streaming = device and (total > STREAMING_THRESHOLD
                                 or mesh is not None)
@@ -149,6 +194,10 @@ def assemble_short_reads(
         else:
             hi, lo, cnt = kk.count_kmers_host(codes, kmer_size,
                                               min_abundance)
+    return _finish(hi, lo, cnt, kmer_size, asm_type, out_fasta, t0)
+
+
+def _finish(hi, lo, cnt, kmer_size, asm_type, out_fasta, t0) -> int:
     PROF["count"] = time.time() - t0
     PROF["n_solid"] = float(len(hi))
     t0 = time.time()

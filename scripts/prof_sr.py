@@ -53,7 +53,10 @@ def main():
         asm_type="contigs", streaming=streaming,
     )
     wall = time.time() - t0
-    prof = {k: round(v, 2) for k, v in assemble_sr.PROF.items()}
+    prof = {
+        k: (round(v, 2) if isinstance(v, (int, float)) else v)
+        for k, v in assemble_sr.PROF.items()
+    }
     total_bases = a.scale * 40
     print(json.dumps({
         "metric": "sr_stage_wall_s",

@@ -482,3 +482,69 @@ def test_subsample_streaming_same_set(tmp_path):
         assert [r.name for r in cio.read_fastx(str(stream))] == [
             str(i) for i in range(n2)
         ]
+
+
+def test_native_counter_matches_host():
+    """The native C++ counter (production single-host path) must be
+    bit-identical to count_kmers_host at every k-word layout (k < 32,
+    == 32, 32 < k < 64, == 64), thread count, and abundance filter."""
+    import numpy as np
+
+    from haslr_tpu import native
+    from haslr_tpu.kernels import kmer as kk
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    reads = [
+        rng.integers(0, 4, int(L)).astype(np.uint8)
+        for L in rng.integers(10, 300, 300)
+    ]
+    codes = np.concatenate(reads)
+    offsets = np.zeros(len(reads) + 1, np.uint64)
+    np.cumsum([len(r) for r in reads], out=offsets[1:])
+    joined = np.concatenate(
+        [np.concatenate([r, np.array([4], np.uint8)]) for r in reads]
+    )
+    for k in (15, 31, 32, 33, 49, 64):
+        for mc in (1, 3):
+            ref = kk.count_kmers_host(joined, k, mc)
+            for nt in (1, 2):
+                got = native.count_kmers_native(
+                    codes, offsets, k, mc, n_threads=nt
+                )
+                for a, b in zip(got, ref):
+                    assert np.array_equal(a, b), (k, mc, nt)
+
+
+def test_assemble_short_reads_native_engine(tmp_path):
+    """assemble_short_reads' auto path uses the native counter and emits
+    the same contigs as the forced device-streaming path."""
+    import numpy as np
+
+    from haslr_tpu.sr import assemble_sr
+    from haslr_tpu.testutil import simulate
+
+    rng = np.random.default_rng(3)
+    genome = simulate.genome_with_repeats(
+        rng, 30_000, n_families=2, copies_per_family=3, repeat_len=300
+    )
+    srs = simulate.make_short_reads(rng, genome, coverage=30.0)
+    sr_path = tmp_path / "sr.fq"
+    simulate.write_short_reads(str(sr_path), srs)
+    a = tmp_path / "a.fa"
+    b = tmp_path / "b.fa"
+    n1 = assemble_sr.assemble_short_reads(
+        [str(sr_path)], str(a), kmer_size=31, min_abundance=3
+    )
+    engine = assemble_sr.PROF.get("count_engine")
+    n2 = assemble_sr.assemble_short_reads(
+        [str(sr_path)], str(b), kmer_size=31, min_abundance=3,
+        streaming=True,
+    )
+    assert n1 == n2
+    assert a.read_bytes() == b.read_bytes()
+    if engine is not None:
+        assert engine == "native"
