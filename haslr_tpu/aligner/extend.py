@@ -17,6 +17,24 @@ from haslr_tpu.core import cigar as ccigar
 
 NEG_H = -(10**12)
 
+# per-phase wall clock of the last batch_align_segments call (pack /
+# dispatch / collect_d2h / convert / host_small); merged into
+# aligner.map.PROF under "extend." keys
+PROF: dict[str, float] = {}
+
+
+_downcast_jit = None
+
+
+def _downcast_i16(m):
+    global _downcast_jit
+    if _downcast_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        _downcast_jit = jax.jit(lambda x: x.astype(jnp.int16))
+    return _downcast_jit(m)
+
 
 def nw_cigar(a: np.ndarray, b: np.ndarray, match=2, mismatch=-4, gap=-2,
              band=64):
@@ -160,10 +178,17 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
     collective), so a pod maps reads with every chip busy (minimap2's
     role, reference ``bin/haslr.py:99``).
     """
+    import time as _time
+
     from haslr_tpu.kernels import nw as knw
 
     n_dev = 1 if mesh is None else int(mesh.devices.size)
+    PROF.clear()
 
+    def _prof(key, dt):
+        PROF[key] = PROF.get(key, 0.0) + dt
+
+    _t0 = _time.time()
     results = [None] * len(segments)
     buckets = {}
     for i, (q, t) in enumerate(segments):
@@ -179,6 +204,7 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
             results[i] = nw_cigar(q, t, match, mismatch, gap)
             continue
         buckets.setdefault(S, []).append(i)
+    _prof("host_small", _time.time() - _t0)
     from haslr_tpu import native
 
     # submit every chunk asynchronously (jax arrays are futures: uploads,
@@ -186,6 +212,12 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
     # collect + convert
     in_flight = []
     for S, idxs in sorted(buckets.items()):
+        # sort by total length so each Pallas 64-read group gets a tight
+        # scalar-prefetched t_max (the DP/traceback loop bound is the
+        # GROUP max; unsorted groups pay the longest member's bound)
+        idxs = sorted(
+            idxs, key=lambda i: len(segments[i][0]) + len(segments[i][1])
+        )
         W = 128 if S <= 1024 else (256 if S <= 2048 else 512)
         # power-of-two chunk size so every full chunk reuses ONE compiled
         # shape per bucket (remote TPU compiles are minutes each; the
@@ -198,6 +230,7 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
             B = 32 * n_dev
             while B < len(chunk):
                 B *= 2
+            _t0 = _time.time()
             reads = np.full((B, S), 4, dtype=np.uint8)
             drafts = np.full((B, S), 4, dtype=np.uint8)
             r_lens = np.zeros(B, dtype=np.int32)
@@ -208,6 +241,8 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
                 drafts[k, : len(t)] = t
                 r_lens[k] = len(q)
                 d_lens[k] = len(t)
+            _prof("pack", _time.time() - _t0)
+            _t0 = _time.time()
             if mesh is None:
                 mapping_dev = knw.align_mapping_device_raw(
                     reads, r_lens, drafts, d_lens, W, match, mismatch, gap
@@ -217,11 +252,21 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
                     reads, r_lens, drafts, d_lens, mesh, W, match,
                     mismatch, gap,
                 )
+            # downcast on device: mapping values lie in [-(S+2), S), so
+            # int16 is lossless for every bucket here (S <= 16384) and
+            # HALVES the device->host transfer — the dominant cost of
+            # this stage through the ~5-20 MB/s relay (the native CIGAR
+            # converter consumes int16 anyway)
+            mapping_dev = _downcast_i16(mapping_dev)
             in_flight.append(
                 (chunk, mapping_dev, reads, drafts, r_lens, d_lens)
             )
+            _prof("dispatch", _time.time() - _t0)
     for chunk, mapping_dev, reads, drafts, r_lens, d_lens in in_flight:
+        _t0 = _time.time()
         mapping = np.asarray(mapping_dev)
+        _prof("collect_d2h", _time.time() - _t0)
+        _t0 = _time.time()
         rows = native.mapping_cigars_native(
             mapping[: len(chunk)], reads[: len(chunk)],
             drafts[: len(chunk)], r_lens[: len(chunk)],
@@ -234,6 +279,7 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
             for k, i in enumerate(chunk):
                 q, t = segments[i]
                 results[i] = mapping_to_cigar(mapping[k], q, t)
+        _prof("convert", _time.time() - _t0)
     return results
 
 

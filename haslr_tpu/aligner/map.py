@@ -27,6 +27,10 @@ from haslr_tpu.core import cigar as ccigar
 from haslr_tpu.core import io as cio
 from haslr_tpu.core import seq as cseq
 
+# wall-clock of the last map_reads call by phase (seed_chain / extend /
+# emit); PROF.clear() to reset — mirrors assemble_sr.PROF
+PROF: dict[str, float] = {}
+
 # read type -> (k, w, homopolymer-compression), mirroring bin/haslr.py:90-95
 PRESETS = {
     "corrected": (19, 10, False),
@@ -287,6 +291,10 @@ def map_reads(
     idx = MinimizerIndex.build(contig_codes, k, w, hpc)
     sh_i, sh_n = host_shard if host_shard is not None else (0, 1)
 
+    import time as _time
+
+    PROF.clear()
+    _t0 = _time.time()
     if threads > 1:
         pending, segments = _seed_chain_shards(
             contig_fasta, reads_fasta, read_type, min_chain_score, threads,
@@ -301,13 +309,23 @@ def map_reads(
         pending, segments = _seed_chain_segments(
             idx, contig_codes, reads(), min_chain_score
         )
+    PROF["seed_chain"] = _time.time() - _t0
+    PROF["n_segments"] = float(len(segments))
 
     from haslr_tpu.aligner.extend import batch_align_segments
 
+    _t0 = _time.time()
     seg_results = batch_align_segments(segments, mesh=mesh)
-    return _emit_all(
+    PROF["extend"] = _time.time() - _t0
+    from haslr_tpu.aligner import extend as _ext
+
+    PROF.update({f"extend.{k2}": v for k2, v in _ext.PROF.items()})
+    _t0 = _time.time()
+    n = _emit_all(
         pending, seg_results, contig_names, contig_codes, out_paf
     )
+    PROF["emit"] = _time.time() - _t0
+    return n
 
 
 def _shard_worker(args):
