@@ -192,6 +192,66 @@ def make_contigs(
     return contigs
 
 
+# above this many total read bases make_reads switches to the
+# vectorized generator (different RNG stream, no error traces): the
+# per-base python mutate loop runs ~1-3 us/base, which at a 50 Mb
+# genome's 750 Mbp of long reads is tens of minutes of pure simulation
+FAST_READS_THRESHOLD = 100_000_000
+
+
+def _mutate_fast(rng, codes: np.ndarray, error_rate: float) -> np.ndarray:
+    """Vectorized sub/ins/del mutation of a 2-bit code array (same
+    marginal distributions as mutate_with_trace with bias 0; no trace)."""
+    n = len(codes)
+    r = rng.random(n)
+    third = error_rate / 3
+    keep = r >= third
+    sub = (r >= third) & (r < 2 * third)
+    ins = (r >= 2 * third) & (r < error_rate)
+    out = codes.copy()
+    # uniform over the three non-original bases
+    out[sub] = (out[sub] + 1 + rng.integers(0, 3, int(sub.sum()))) % 4
+    # expansion: kept base (maybe) + optional inserted base after
+    n_out = keep.astype(np.int64) + ins.astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(n_out)])
+    res = np.empty(offs[-1], np.uint8)
+    res[offs[:-1][keep]] = out[keep]
+    ins_pos = offs[:-1][ins] + keep[ins].astype(np.int64)
+    res[ins_pos] = rng.integers(0, 4, int(ins.sum()), dtype=np.uint8)
+    return res
+
+
+def _make_reads_fast(rng, genome, coverage, mean_len, error_rate):
+    from haslr_tpu.core import seq as cseq
+
+    n = len(genome)
+    codes = cseq.encode(genome)
+    n_reads = int(np.ceil(coverage * n / mean_len)) + 1
+    lens = rng.integers(mean_len // 2, mean_len * 3 // 2, n_reads)
+    lens = np.minimum(lens, n)
+    starts = rng.integers(0, n - lens + 1)
+    reads = []
+    total = 0
+    chars = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(n_reads):
+        if total >= coverage * n:
+            break
+        rlen = int(lens[i])
+        start = int(starts[i])
+        mutated = _mutate_fast(
+            rng, codes[start : start + rlen], error_rate
+        )
+        strand = int(rng.random() < 0.5)
+        if strand:
+            mutated = 3 - mutated[::-1]
+        seq = chars[mutated].tobytes().decode()
+        reads.append(
+            SimRead(len(reads), start, start + rlen, strand, seq, [], [])
+        )
+        total += len(seq)
+    return reads
+
+
 def make_reads(
     rng,
     genome: str,
@@ -201,6 +261,15 @@ def make_reads(
     homopolymer_bias: float = 0.0,
 ) -> list[SimRead]:
     n = len(genome)
+    if (
+        coverage * n > FAST_READS_THRESHOLD
+        and homopolymer_bias == 0.0
+    ):
+        # scale regime: vectorized path (no per-base error traces, so
+        # true_paf_records cannot be used on these reads — large-scale
+        # benches map with the real aligner anyway)
+        return _make_reads_fast(rng, genome, coverage, mean_len,
+                                error_rate)
     total = 0
     reads = []
     while total < coverage * n:
