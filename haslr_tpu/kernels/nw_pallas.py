@@ -178,11 +178,16 @@ def _dp_phase(base_ref, rrev_ref, dpad_ref, rl, dl, dirs_ref, t_hi,
                 h == cand_u, jnp.asarray(UP, sdt), jnp.asarray(LEFT, sdt)
             ),
         )
-        # i/j in score dtype so the validity mask shares the h layout;
-        # j = b_t + lane >= 0 always, so only three bounds remain
-        j_s = jnp.asarray(b_t, sdt) + lane_s
-        i_s = jnp.asarray(t, sdt) - j_s
-        valid = (i_s >= 0) & (i_s <= rl_s) & (j_s <= dl_s)
+        # validity folded to lane-range form: with j = b_t + lane and
+        # i = t - j, the three bounds (i >= 0, i <= rl, j <= dl) are
+        # exactly  t - rl - b_t <= lane <= min(t, dl) - b_t  — two
+        # (G, W) compares against (G, 1) bounds instead of two iota
+        # arithmetics + three compares
+        t_s = jnp.asarray(t, sdt)
+        b_s = jnp.asarray(b_t, sdt)
+        lane_lo = (t_s - b_s) - rl_s
+        lane_hi = jnp.minimum(t_s, dl_s) - b_s
+        valid = (lane_s >= lane_lo) & (lane_s <= lane_hi)
         h = jnp.where(valid, h, neg)
         dirs_ref[t] = d.astype(jnp.uint8)
         return h_prev1, h
