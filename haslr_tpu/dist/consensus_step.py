@@ -1,5 +1,12 @@
-"""The sharded consensus/support superstep — the multi-chip "training step"
-of the assembler.
+"""MINIMAL EXAMPLE of the psum-merged support pattern — not the
+production path.
+
+The production sharded consensus is
+:func:`haslr_tpu.kernels.consensus_dense._make_sharded_rounds` (reads
+data-parallel over ``dp``, vote tables psum-merged per polish round,
+drafts replicated); this module is the same pattern reduced to one
+readable superstep, kept as documentation-by-example and exercised by
+``tests/test_dist.py::test_sharded_consensus_step_matches_single_device``.
 
 One step of the distributed pipeline (SURVEY.md §2.3 TPU mapping):
 
