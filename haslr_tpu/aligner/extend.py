@@ -207,6 +207,12 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
     _prof("host_small", _time.time() - _t0)
     from haslr_tpu import native
 
+    # CIGAR runs come straight from the device traceback under the
+    # row-scan engine: the D2H payload is one packed uint16 per CIGAR run
+    # instead of one int16 per draft column — through the ~5-20 MB/s TPU
+    # relay that transfer was 57 s of the round-4 4.6 Mb e2e
+    use_runs = knw._resolve_engine(None) == "rowscan"
+
     # submit every chunk asynchronously (jax arrays are futures: uploads,
     # DPs and tracebacks of later chunks overlap earlier transfers), then
     # collect + convert
@@ -243,26 +249,73 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
                 d_lens[k] = len(t)
             _prof("pack", _time.time() - _t0)
             _t0 = _time.time()
-            if mesh is None:
-                mapping_dev = knw.align_mapping_device_raw(
-                    reads, r_lens, drafts, d_lens, W, match, mismatch, gap
+            if use_runs:
+                from haslr_tpu.kernels import nw_rowscan as rsk
+
+                if mesh is None:
+                    dev = rsk.cigar_runs_device_raw(
+                        reads, r_lens, drafts, d_lens, W, match, mismatch,
+                        gap,
+                    )
+                else:
+                    dev = rsk.cigar_runs_device_sharded(
+                        reads, r_lens, drafts, d_lens, mesh, W, match,
+                        mismatch, gap,
+                    )
+                in_flight.append(
+                    ("runs", chunk, dev, reads, drafts, r_lens, d_lens)
                 )
             else:
-                mapping_dev = knw.align_mapping_device_sharded(
-                    reads, r_lens, drafts, d_lens, mesh, W, match,
-                    mismatch, gap,
+                if mesh is None:
+                    mapping_dev = knw.align_mapping_device_raw(
+                        reads, r_lens, drafts, d_lens, W, match, mismatch,
+                        gap,
+                    )
+                else:
+                    mapping_dev = knw.align_mapping_device_sharded(
+                        reads, r_lens, drafts, d_lens, mesh, W, match,
+                        mismatch, gap,
+                    )
+                # int16 is lossless (values in [-(S+2), S), S <= 16384)
+                # and halves the device->host transfer
+                mapping_dev = _downcast_i16(mapping_dev)
+                in_flight.append(
+                    ("map", chunk, mapping_dev, reads, drafts, r_lens,
+                     d_lens)
                 )
-            # downcast on device: mapping values lie in [-(S+2), S), so
-            # int16 is lossless for every bucket here (S <= 16384) and
-            # HALVES the device->host transfer — the dominant cost of
-            # this stage through the ~5-20 MB/s relay (the native CIGAR
-            # converter consumes int16 anyway)
-            mapping_dev = _downcast_i16(mapping_dev)
-            in_flight.append(
-                (chunk, mapping_dev, reads, drafts, r_lens, d_lens)
-            )
             _prof("dispatch", _time.time() - _t0)
-    for chunk, mapping_dev, reads, drafts, r_lens, d_lens in in_flight:
+    for kind, chunk, dev, reads, drafts, r_lens, d_lens in in_flight:
+        if kind == "runs":
+            runs_dev, nruns_dev = dev
+            _t0 = _time.time()
+            runs = np.asarray(runs_dev)
+            nruns = np.asarray(nruns_dev)
+            _prof("collect_d2h", _time.time() - _t0)
+            _t0 = _time.time()
+            n = len(chunk)
+            rows = native.runs_cigars_native(
+                runs[:n], nruns[:n], reads[:n], drafts[:n], r_lens[:n],
+                d_lens[:n],
+            )
+            if rows is None:
+                rows = [
+                    _decode_runs_py(runs[k], int(nruns[k]), *segments[i])
+                    for k, i in enumerate(chunk)
+                ]
+            n_fallback = 0
+            for k, i in enumerate(chunk):
+                o, l, ne = rows[k]
+                if ne < 0:  # run-count overflow / malformed: realign
+                    results[i] = nw_cigar(*segments[i], match, mismatch,
+                                          gap)
+                    n_fallback += 1
+                else:
+                    results[i] = (o, l, ne)
+            if n_fallback:
+                _prof("n_runs_overflow", n_fallback)
+            _prof("convert", _time.time() - _t0)
+            continue
+        mapping_dev = dev
         _t0 = _time.time()
         mapping = np.asarray(mapping_dev)
         _prof("collect_d2h", _time.time() - _t0)
@@ -281,6 +334,35 @@ def batch_align_segments(segments, match=2, mismatch=-4, gap=-2,
                 results[i] = mapping_to_cigar(mapping[k], q, t)
         _prof("convert", _time.time() - _t0)
     return results
+
+
+def _decode_runs_py(runs_row: np.ndarray, n: int, q_codes: np.ndarray,
+                    t_codes: np.ndarray):
+    """Pure-Python fallback for :func:`haslr_tpu.native.runs_cigars_native`
+    on one row: reverse the traceback-ordered packed runs, normalize, and
+    count exact matches (n_eq = -1 on overflow/malformed rows)."""
+    if n < 0 or n > len(runs_row):
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64), -1
+    v = runs_row[:n][::-1].astype(np.int64)
+    ops = (v & 3).astype(np.uint8)
+    lens = (v >> 2) + 1
+    qpos = np.cumsum(np.where(ops != ccigar.D, lens, 0))
+    tpos = np.cumsum(np.where(ops != ccigar.I, lens, 0))
+    if (
+        (qpos[-1] if n else 0) != len(q_codes)
+        or (tpos[-1] if n else 0) != len(t_codes)
+    ):
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64), -1
+    n_eq = 0
+    q0 = np.concatenate([[0], qpos[:-1]])
+    t0 = np.concatenate([[0], tpos[:-1]])
+    for k in np.nonzero(ops == ccigar.M)[0]:
+        n_eq += int(
+            np.sum(
+                q_codes[q0[k] : qpos[k]] == t_codes[t0[k] : tpos[k]]
+            )
+        )
+    return ccigar.normalize(ops, lens) + (n_eq,)
 
 
 def chain_to_segments(

@@ -554,7 +554,7 @@ def _vote_compact(counts, cov_diff, ins1, ins2, n_reads, drafts, d_lens,
 
 def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
                  N, S, W, rounds, match, mismatch, gap, use_pallas,
-                 axis=None, vote_impl="scatter"):
+                 axis=None, vote_impl="scatter", engine="wavefront"):
     """The multi-round consensus body (device side).
 
     ``axis``: optional mesh axis name.  When set, the READ batch is the
@@ -585,16 +585,23 @@ def _rounds_impl(flat, read_off, r_lens, win_idx, draft_off, d_lens0,
             drop_r = jax.lax.psum(drop_r, axis)
         dropped = jnp.maximum(dropped, drop_r)
         if use_pallas:
-            from haslr_tpu.kernels.nw_pallas import nw_votes_pallas
+            if engine == "rowscan":
+                from haslr_tpu.kernels.nw_rowscan import (
+                    rowscan_votes_pallas as votes_fn,
+                )
+            else:
+                from haslr_tpu.kernels.nw_pallas import (
+                    nw_votes_pallas as votes_fn,
+                )
 
-            planes, stats = nw_votes_pallas(
+            planes, stats = votes_fn(
                 reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap
             )
             tables = _kernel_vote_tables(planes, stats, win_idx, ok, N, S)
         else:
             mapping = _align_mapping_inner(
                 reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
-                use_pallas,
+                use_pallas, engine,
             )
             scatter_fn = _SCATTER_IMPLS[vote_impl]
             tables = scatter_fn(mapping, reads, r_lens, win_idx, ok, N, S)
@@ -728,9 +735,11 @@ def _pack_out(drafts, d_lens, overflow, dropped):
     return jnp.concatenate([packed.reshape(-1), tail])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(
+    jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
 def _dense_rounds_fused(flat, meta, N, S, W, rounds, match, mismatch, gap,
-                        use_pallas, vote_impl):
+                        use_pallas, vote_impl, engine):
     """Whole multi-round bucket consensus as ONE compiled program.
 
     On this machine every jit dispatch through the TPU relay costs
@@ -750,7 +759,7 @@ def _dense_rounds_fused(flat, meta, N, S, W, rounds, match, mismatch, gap,
     return _rounds_impl(
         flat, read_off, r_lens, win_idx, draft_off, d_lens,
         N, S, W, rounds, match, mismatch, gap, use_pallas,
-        axis=None, vote_impl=vote_impl,
+        axis=None, vote_impl=vote_impl, engine=engine,
     )
 
 
@@ -759,10 +768,11 @@ def _dense_rounds(flat, meta, N, S, W, rounds, match, mismatch, gap,
     """Single-device multi-round consensus for one bucket (one fused
     dispatch; the caller materializes the packed output)."""
     B = (meta.shape[0] - 2 * N) // 3
-    use_pallas = nw.use_pallas_for(B, S, S, W)
+    engine = nw._resolve_engine(None)
+    use_pallas = nw.use_pallas_for(B, S, S, W, engine)
     return _dense_rounds_fused(
         jnp.asarray(flat), jnp.asarray(meta), N, S, W, rounds, match,
-        mismatch, gap, use_pallas, vote_impl,
+        mismatch, gap, use_pallas, vote_impl, engine,
     )
 
 
@@ -772,7 +782,8 @@ def _dense_rounds_split(flat, meta, N, S, W, rounds, match, mismatch, gap,
     stage, chained over device-resident arrays).  Kept as a fallback
     measurement point; production uses the fused program."""
     B = (meta.shape[0] - 2 * N) // 3
-    use_pallas = nw.use_pallas_for(B, S, S, W)
+    engine = nw._resolve_engine(None)
+    use_pallas = nw.use_pallas_for(B, S, S, W, engine)
     flat = jnp.asarray(flat)
     meta = jnp.asarray(meta)
     reads, r_lens, win_idx, drafts, d_lens = _prep_bucket(flat, meta, N, S)
@@ -783,9 +794,16 @@ def _dense_rounds_split(flat, meta, N, S, W, rounds, match, mismatch, gap,
             drafts, d_lens, win_idx, r_lens, dropped, W
         )
         if use_pallas:
-            from haslr_tpu.kernels.nw_pallas import nw_votes_pallas
+            if engine == "rowscan":
+                from haslr_tpu.kernels.nw_rowscan import (
+                    rowscan_votes_pallas as votes_fn,
+                )
+            else:
+                from haslr_tpu.kernels.nw_pallas import (
+                    nw_votes_pallas as votes_fn,
+                )
 
-            planes, stats = nw_votes_pallas(
+            planes, stats = votes_fn(
                 reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap
             )
             drafts, d_lens, overflow = _vote_round_planes(
@@ -794,7 +812,7 @@ def _dense_rounds_split(flat, meta, N, S, W, rounds, match, mismatch, gap,
         else:
             mapping = nw._align_mapping(
                 reads, r_lens, dr_r, dl_r, S, S, W, match, mismatch, gap,
-                use_pallas,
+                use_pallas, engine,
             )
             drafts, d_lens, overflow = _vote_round(
                 mapping, reads, r_lens, win_idx, ok, drafts, d_lens,
@@ -805,7 +823,8 @@ def _dense_rounds_split(flat, meta, N, S, W, rounds, match, mismatch, gap,
 
 @functools.lru_cache(maxsize=None)
 def _make_sharded_rounds(mesh, N, S, W, rounds, match, mismatch, gap,
-                         use_pallas, vote_impl="scatter"):
+                         use_pallas, vote_impl="scatter",
+                         engine="wavefront"):
     """Jitted shard_map of the round body over the mesh's ``dp`` axis:
     reads data-parallel, flat code array + draft meta replicated, vote
     tables psum-merged, output replicated (identical on every device)."""
@@ -815,7 +834,7 @@ def _make_sharded_rounds(mesh, N, S, W, rounds, match, mismatch, gap,
         return _rounds_impl(
             flat, rmeta[0], rmeta[1], rmeta[2], dmeta[0], dmeta[1],
             N, S, W, rounds, match, mismatch, gap, use_pallas, axis="dp",
-            vote_impl=vote_impl,
+            vote_impl=vote_impl, engine=engine,
         )
 
     # check_vma=True: the NW scan anchors its carries to device-varying
@@ -1170,10 +1189,11 @@ def _dispatch_group(window_codes, drafts0, win_list, S, W, match,
 
         rmeta = np.stack([ro, rl, wx]).astype(np.int32)
         dmeta = np.stack([do, dl]).astype(np.int32)
-        use_pallas = nw.use_pallas_for(B // n_dev, S, S, W)
+        engine = nw._resolve_engine(None)
+        use_pallas = nw.use_pallas_for(B // n_dev, S, S, W, engine)
         fn = _make_sharded_rounds(
             mesh, N, S, W, rounds, match, mismatch, gap, use_pallas,
-            VOTE_IMPL,
+            VOTE_IMPL, engine,
         )
         out = fn(
             jax.device_put(flat, NamedSharding(mesh, P())),

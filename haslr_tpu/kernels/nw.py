@@ -32,6 +32,19 @@ import numpy as np
 NEG = np.int32(-(10**8))
 DIAG, UP, LEFT = 0, 1, 2
 
+# which DP formulation the production align paths use:
+#   "rowscan"   — R row steps, closed-form in-row insertion chains, half
+#                 the cells (kernels/nw_rowscan.py; the default)
+#   "wavefront" — R+D anti-diagonal steps (this module + nw_pallas.py;
+#                 kept as the cross-check oracle, selectable per call)
+# Resolved to a static jit argument at every non-jitted entry point, so
+# flipping it mid-process affects subsequent calls (tests rely on this).
+ENGINE = "rowscan"
+
+
+def _resolve_engine(engine):
+    return ENGINE if engine is None else engine
+
 
 def band_bases(R: int, D: int, W: int) -> np.ndarray:
     """Lane-0 draft position per anti-diagonal t in [0, R+D], centered on
@@ -180,21 +193,35 @@ def nw_scores(reads, r_lens, drafts, d_lens, W=128, match=5, mismatch=-4,
 
 
 def _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
-                         mismatch, gap, use_pallas=False):
+                         mismatch, gap, use_pallas=False,
+                         engine="wavefront"):
     """DP + traceback entirely on device; returns mapping (B, R) int32.
 
-    The direction tensor (T+1, B, W) never leaves the device — essential
-    here because device->host bandwidth (~40 MB/s through the TPU relay)
-    is the bottleneck, not compute.  The traceback is the same lockstep
-    walk as :func:`traceback_batch`, expressed as a fixed-length scan of
-    vectorized gathers/scatters over the read batch.  ``use_pallas``
-    selects the hand-scheduled Mosaic kernel for the DP (TPU only).
+    The direction tensor never leaves the device — essential here because
+    device->host bandwidth (~40 MB/s through the TPU relay) is the
+    bottleneck, not compute.  ``engine`` selects the DP formulation (see
+    :data:`ENGINE`); ``use_pallas`` selects the hand-scheduled Mosaic
+    kernel for it (TPU only).
     """
     B = reads.shape[0]
     T = R + D
     # int16 halves the transfer/table width; big drafts need int32 (the
     # insertion encoding -(j+2) must hold -(D+2))
     out_dtype = jnp.int16 if D <= 32000 else jnp.int32
+    if engine == "rowscan":
+        from haslr_tpu.kernels import nw_rowscan as rs
+
+        if use_pallas:
+            mapping = rs.rowscan_mapping_pallas(
+                reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
+                gap,
+            )
+        else:
+            mapping = rs._rowscan_mapping_inner(
+                reads, r_lens, drafts, d_lens, R, D, W, match, mismatch,
+                gap,
+            )
+        return mapping.astype(out_dtype)
     if use_pallas:
         # fused DP + in-kernel wavefront traceback: the direction tensor
         # never leaves VMEM and the whole XLA traceback scan disappears
@@ -243,7 +270,7 @@ def _align_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
 
 
 _align_mapping = functools.partial(
-    jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10)
+    jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
 )(_align_mapping_inner)
 
 
@@ -251,17 +278,25 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def use_pallas_for(B: int, R: int, D: int, W: int) -> bool:
-    """Whether the fused Mosaic kernel handles this shape: TPU backend,
-    whole GROUPs, and the per-program VMEM direction scratch within
-    budget (at the minimum group of 32; the kernel doubles the group when
-    the scratch allows)."""
+def use_pallas_for(B: int, R: int, D: int, W: int, engine=None) -> bool:
+    """Whether the engine's fused Mosaic kernel handles this shape: TPU
+    backend, whole GROUPs, and the per-program VMEM direction scratch
+    within budget (at the minimum group of 32; the kernels raise the
+    group when the scratch allows)."""
+    if _resolve_engine(engine) == "rowscan":
+        from haslr_tpu.kernels import nw_rowscan as rs
+
+        return rs.use_pallas_for(B, R, D, W)
     return _on_tpu() and B % 32 == 0 and (R + D + 1) * 32 * W <= 8 << 20
 
 
-def pallas_unit(R: int, D: int, W: int) -> int:
+def pallas_unit(R: int, D: int, W: int, engine=None) -> int:
     """Batch-padding multiple that lets the kernel use its preferred
     group size for this shape."""
+    if _resolve_engine(engine) == "rowscan":
+        from haslr_tpu.kernels import nw_rowscan as rs
+
+        return rs.group_for(R, D, W)
     from haslr_tpu.kernels.nw_pallas import group_for
 
     return group_for(R, D, W)
@@ -279,17 +314,18 @@ def align_mapping_device_raw(
 ):
     """Device-resident align + traceback; returns the (B, R) mapping as a
     DEVICE array (see :func:`traceback_batch` for the encoding).  On TPU
-    the DP runs in the Mosaic kernel (:mod:`haslr_tpu.kernels.nw_pallas`)
-    when the batch fits its 32-read grouping."""
+    the DP runs in the active engine's Mosaic kernel when the batch fits
+    its 32-read grouping."""
     R = reads.shape[1]
     D = drafts.shape[1]
-    use_pallas = use_pallas_for(reads.shape[0], R, D, W)
+    engine = _resolve_engine(None)
+    use_pallas = use_pallas_for(reads.shape[0], R, D, W, engine)
     return _align_mapping(
         jnp.asarray(reads),
         jnp.asarray(r_lens, dtype=jnp.int32),
         jnp.asarray(drafts),
         jnp.asarray(d_lens, dtype=jnp.int32),
-        R, D, W, match, mismatch, gap, use_pallas,
+        R, D, W, match, mismatch, gap, use_pallas, engine,
     )
 
 
@@ -312,7 +348,8 @@ def align_mapping_device(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sharded_align(mesh, R, D, W, match, mismatch, gap, use_pallas):
+def _make_sharded_align(mesh, R, D, W, match, mismatch, gap, use_pallas,
+                        engine):
     """shard_mapped batched align over the mesh's ``dp`` axis: rows are
     independent, so the batch simply splits across devices (no collective)
     and the mapping comes back row-sharded; the scan carries anchor to
@@ -322,7 +359,7 @@ def _make_sharded_align(mesh, R, D, W, match, mismatch, gap, use_pallas):
     def _one(reads, r_lens, drafts, d_lens):
         return _align_mapping_inner(
             reads, r_lens, drafts, d_lens, R, D, W, match, mismatch, gap,
-            use_pallas,
+            use_pallas, engine,
         )
 
     sm = jax.shard_map(
@@ -347,9 +384,10 @@ def align_mapping_device_sharded(
     D = drafts.shape[1]
     n_dev = int(mesh.devices.size)
     assert B % n_dev == 0
-    use_pallas = use_pallas_for(B // n_dev, R, D, W)
+    engine = _resolve_engine(None)
+    use_pallas = use_pallas_for(B // n_dev, R, D, W, engine)
     fn = _make_sharded_align(mesh, R, D, W, match, mismatch, gap,
-                             use_pallas)
+                             use_pallas, engine)
     sh = NamedSharding(mesh, P("dp"))
     return fn(
         jax.device_put(np.ascontiguousarray(reads), sh),

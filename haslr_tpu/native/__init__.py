@@ -125,6 +125,14 @@ def get_lib():
     lib.hx_chain_indices.argtypes = [ctypes.c_void_p]
     lib.hx_chain_free.restype = None
     lib.hx_chain_free.argtypes = [ctypes.c_void_p]
+    # batched CIGAR runs -> normalized CIGAR + n_eq
+    lib.hx_runcig_run.restype = ctypes.c_void_p
+    lib.hx_runcig_run.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+    ]
     # batched mapping -> CIGAR
     lib.hx_mapcig_run.restype = ctypes.c_void_p
     lib.hx_mapcig_run.argtypes = [
@@ -230,6 +238,52 @@ def mapping_cigars_native(mapping, reads, drafts, r_lens, d_lens):
         rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         B, R, S,
+    )
+    if not h:
+        return None
+    try:
+        size = lib.hx_mapcig_size(h)
+        ops = np.ctypeslib.as_array(lib.hx_mapcig_ops(h), shape=(size,)) \
+            .copy() if size else np.zeros(0, np.uint8)
+        lens = np.ctypeslib.as_array(lib.hx_mapcig_lens(h), shape=(size,)) \
+            .copy() if size else np.zeros(0, np.int64)
+        offs = np.ctypeslib.as_array(
+            lib.hx_mapcig_offsets(h), shape=(B + 1,)
+        ).copy()
+        neq = np.ctypeslib.as_array(lib.hx_mapcig_neq(h), shape=(B,)).copy()
+        return [
+            (ops[offs[b] : offs[b + 1]], lens[offs[b] : offs[b + 1]],
+             int(neq[b]))
+            for b in range(B)
+        ]
+    finally:
+        lib.hx_mapcig_free(h)
+
+
+def runs_cigars_native(runs, n_runs, reads, drafts, r_lens, d_lens):
+    """Whole-chunk CIGAR-run decode (reverse + normalize + n_eq); returns
+    a list of (ops, lens, n_eq) rows — n_eq = -1 marks rows the caller
+    must realign on host (run-count overflow) — or None when the library
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    runs = np.ascontiguousarray(runs, dtype=np.uint16)
+    nr = np.ascontiguousarray(n_runs, dtype=np.int32)
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    drafts = np.ascontiguousarray(drafts, dtype=np.uint8)
+    rl = np.ascontiguousarray(r_lens, dtype=np.int32)
+    dl = np.ascontiguousarray(d_lens, dtype=np.int32)
+    B, MAXR = runs.shape
+    S = reads.shape[1]
+    h = lib.hx_runcig_run(
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        nr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        drafts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        B, MAXR, S,
     )
     if not h:
         return None
