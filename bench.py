@@ -226,6 +226,44 @@ def bench_kmer_rate_native(n_reads=320_000, coverage_sim=True):
     return n_reads * read_len / dt / 1e6
 
 
+def bench_kmer_rate_multihost(n_reads=320_000, n_shards=8):
+    """Multi-host SR counting path (Mbases/s): native host count per
+    contiguous read shard at min_count=1 + prefix-range merge (the
+    production pod-scale story, assemble_sr._count_native_sharded).
+    Same workload as :func:`bench_kmer_rate_native`; on this one host
+    the shards run serially, so the per-host rate at pod scale is
+    ~n_shards x this number plus the (measured, included) merge cost."""
+    import os
+
+    from haslr_tpu.kernels.kmer import merge_kmer_counts
+    from haslr_tpu.native import count_kmers_native
+
+    rng = np.random.default_rng(5)
+    read_len = 150
+    genome = rng.integers(0, 4, 1_200_000).astype(np.uint8)
+    starts = rng.integers(0, len(genome) - read_len, n_reads)
+    codes = genome[
+        starts[:, None] + np.arange(read_len)[None, :]
+    ].reshape(-1)
+    offsets = np.arange(n_reads + 1, dtype=np.uint64) * read_len
+    count_kmers_native(codes[: 150 * 1000], offsets[:1001], 49, 1)  # warm
+    t0 = time.time()
+    shards = []
+    for s in range(n_shards):
+        a = s * n_reads // n_shards
+        b = (s + 1) * n_reads // n_shards
+        o = offsets[a : b + 1] - offsets[a]
+        c = codes[offsets[a] : offsets[b]]
+        shards.append(
+            count_kmers_native(c, o, 49, 1,
+                               n_threads=os.cpu_count() or 1)
+        )
+    out = merge_kmer_counts(shards, 2)
+    dt = time.time() - t0
+    assert len(out[0]) > 0
+    return n_reads * read_len / dt / 1e6
+
+
 def bench_kmer_rate(n_reads=32_000, n_batches=2):
     """Device k-mer counting rate (Mbases/s) through the streaming
     prefix-partitioned counter (the multi-chip scale path).  Measured
@@ -332,8 +370,18 @@ def main():
             extras["kmer_count_mbases_per_s"] = "error"
     else:
         extras["kmer_count_mbases_per_s"] = "skipped (budget)"
-    # device streaming counter (multi-chip scale path) — through the
-    # relay; chunk-shape compiles are the slow part cold
+    # multi-host path: per-shard native count + prefix-range merge
+    if _remaining() > 25:
+        try:
+            extras["kmer_multihost_mbases_per_s"] = round(
+                bench_kmer_rate_multihost(), 1
+            )
+        except Exception:
+            extras["kmer_multihost_mbases_per_s"] = "error"
+    else:
+        extras["kmer_multihost_mbases_per_s"] = "skipped (budget)"
+    # device streaming counter (device-resident fallback path) — through
+    # the relay; chunk-shape compiles are the slow part cold
     if _remaining() > 240:
         try:
             extras["kmer_device_mbases_per_s"] = round(bench_kmer_rate(), 1)

@@ -57,6 +57,18 @@ DIRS_VMEM_BUDGET = 10 << 20
 
 PREFIX_SHIFTS = (1, 2, 4, 8, 16, 32, 64)  # W = 128 doubling levels
 
+# debug switches (trace time): skip the in-kernel traceback to measure
+# the DP phase alone (outputs then meaningless); force a group size
+TB_SKIP = False
+GROUP_OVERRIDE: int | None = None
+
+# unroll factors for the DP / traceback fori loops (trace time).  The
+# loops are bound by fixed per-iteration overhead, not vector work
+# (measured: G=64 does half the per-step tile work of G=128 at the SAME
+# per-step time), so unrolling amortizes the control cost directly.
+DP_UNROLL = 1
+TB_UNROLL = 1
+
 
 def row_bases(R: int, D: int, W: int) -> np.ndarray:
     """Lane-0 draft column per read row i in [0, R]: the
@@ -295,7 +307,10 @@ def _dp_rowscan(base_ref, rpad_ref, dpad_ref, rl, dl, dirs_ref, r_hi,
         dirs_ref[i] = d.astype(jnp.uint8)
         return h
 
-    jax.lax.fori_loop(1, r_hi + 1, step, h0)
+    jax.lax.fori_loop(
+        1, r_hi + 1, step, h0,
+        unroll=DP_UNROLL if DP_UNROLL > 1 else False,
+    )
 
 
 def _tb_resolve(dirs_vmem, base_ref, r, i, j, lane_w, W):
@@ -337,6 +352,9 @@ def _mapping_kernel(base_ref, rmax_ref, rpad_ref, dpad_ref, rlen_ref,
     mapping0 = jnp.full((GROUP, R), -1, jnp.int32) + jnp.minimum(
         rpad_ref[:, 0:R], 0
     )
+    if TB_SKIP:
+        map_ref[:] = mapping0
+        return
 
     def tb_step(k, carry):
         i, j, mapping = carry
@@ -351,7 +369,10 @@ def _mapping_kernel(base_ref, rmax_ref, rpad_ref, dpad_ref, rlen_ref,
         j = jnp.where(is_diag, jp - 1, jnp.where(is_up, jp, j))
         return i, j, mapping
 
-    _, _, mapping = jax.lax.fori_loop(0, r_max, tb_step, (rl, dl, mapping0))
+    _, _, mapping = jax.lax.fori_loop(
+        0, r_max, tb_step, (rl, dl, mapping0),
+        unroll=TB_UNROLL if TB_UNROLL > 1 else False,
+    )
     map_ref[:] = mapping
 
 
@@ -757,7 +778,7 @@ def cigar_runs_device_sharded(reads, r_lens, drafts, d_lens, mesh, W=128,
 
 
 def _group_and_rmax(B, R, D, W, r_lens):
-    G = group_for(R, D, W)
+    G = GROUP_OVERRIDE or group_for(R, D, W)
     while B % G:
         G //= 2
     assert G >= 32 and B % G == 0

@@ -100,7 +100,7 @@ void* hx_runcig_run(const uint16_t* runs, const int32_t* n_runs,
         const uint8_t* q = reads + b * S;
         const uint8_t* t = drafts + b * S;
         int64_t qpos = 0, tpos = 0, neq = 0;
-        size_t row_start = res->ops.size();
+        std::size_t row_start = res->ops.size();
         for (int64_t k = n - 1; !bad && k >= 0; k--) {
             uint16_t v = r[k];
             uint8_t op = v & 3;

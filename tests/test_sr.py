@@ -548,3 +548,60 @@ def test_assemble_short_reads_native_engine(tmp_path):
     assert a.read_bytes() == b.read_bytes()
     if engine is not None:
         assert engine == "native"
+
+
+@pytest.mark.parametrize("k", [31, 49])
+def test_merge_kmer_counts_matches_single(k):
+    """The multi-host path (per-shard count at min_count=1 + prefix-range
+    merge, abundance filter after summation) must be bit-identical to
+    counting the whole stream at once — including k-mers under the
+    threshold in every shard but over it globally."""
+    rng = np.random.default_rng(42)
+    genome = rng.integers(0, 4, 20_000).astype(np.uint8)
+    reads = []
+    for _ in range(600):
+        p = int(rng.integers(0, len(genome) - 120))
+        reads.append(genome[p : p + 120])
+    concat = []
+    for r in reads:
+        concat.append(r)
+        concat.append(np.array([kk.SEP], np.uint8))
+    full = np.concatenate(concat)
+    want = kk.count_kmers_host(full, k, 3)
+
+    n_shards = 4
+    shards = []
+    for s in range(n_shards):
+        block = reads[s * len(reads) // n_shards
+                      : (s + 1) * len(reads) // n_shards]
+        cat = []
+        for r in block:
+            cat.append(r)
+            cat.append(np.array([kk.SEP], np.uint8))
+        shards.append(kk.count_kmers_host(np.concatenate(cat), k, 1))
+    got = kk.merge_kmer_counts(shards, 3)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    # a below-threshold-everywhere, above-globally k-mer must survive
+    per_shard_max = np.zeros(0)
+    assert (got[2] >= 3).all()
+
+
+def test_merge_kmer_counts_native_sharded_pipeline(tmp_path):
+    """assemble_sr._count_native_sharded == _count_native on a real
+    fastq (the counting engines behind the single-host and multi-host
+    pipeline paths)."""
+    from haslr_tpu.sr.assemble_sr import _count_native, \
+        _count_native_sharded
+
+    rng = np.random.default_rng(9)
+    genome = _rand_seq(rng, 30_000)
+    srs = simulate.make_short_reads(rng, genome, coverage=25.0)
+    sr = str(tmp_path / "sr.fq")
+    simulate.write_short_reads(sr, srs)
+    single = _count_native([sr], 49, 3)
+    if single is None:
+        pytest.skip("native library unavailable")
+    sharded = _count_native_sharded([sr], 49, 3, 8)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
