@@ -227,27 +227,66 @@ def _seed_chain_segments(idx, contig_codes, reads, min_chain_score):
 
 
 def _emit_all(pending, seg_results, contig_names, contig_codes, out_paf):
-    """Phase 3: assemble CIGARs, restore read-file order, write PAF."""
+    """Phase 3: assemble CIGARs, restore read-file order, write PAF.
+
+    Field math mirrors :func:`_emit_record`; the formatting + file write
+    happen in ONE native call (``native/paf.cpp`` — byte-identical to
+    ``PafRecord.to_line``), with the Python writer as fallback.  A
+    stable sort on (read index, q_start, q_end) reproduces the
+    per-read ordering exactly."""
+    from haslr_tpu import native
     from haslr_tpu.aligner.extend import assemble_parts
 
-    by_read = {}
+    rows = []
     for (ri, name, rlen, rel, cid, q_arr, t_arr, parts, seg_base, score,
          f2) in pending:
         ops, lens, n_match = assemble_parts(parts, seg_results[seg_base:])
-        by_read.setdefault(ri, []).append(
-            _emit_record(
-                name, rlen, rel, cid, contig_names, contig_codes[cid],
-                q_arr, t_arr, ops, lens, n_match, score, f2,
-            )
+        q_beg = int(q_arr[0])
+        q_end = q_beg + ccigar.query_len(ops, lens)
+        t_beg = int(t_arr[0])
+        t_end = t_beg + ccigar.target_len(ops, lens)
+        n_block = ccigar.n_columns(ops, lens)
+        mapq = int(
+            min(60, 60.0 * (1.0 - f2 / max(score, 1e-9))
+                * min(1.0, len(t_arr) / 10))
         )
-    n = 0
+        if rel == 0:
+            qs_out, qe_out = q_beg, q_end
+        else:
+            qs_out, qe_out = rlen - q_end, rlen - q_beg
+        rows.append((
+            ri, qs_out, qe_out, name,
+            (rlen, qs_out, qe_out, rel, cid, len(contig_codes[cid]),
+             t_beg, t_end, n_match, n_block, mapq),
+            ops, lens,
+        ))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    n = len(rows)
+    if n:
+        fields = np.array([r[4] for r in rows], np.int64)
+        names = [r[3] for r in rows]
+        ops_blob = np.concatenate([r[5] for r in rows])
+        lens_blob = np.concatenate([r[6] for r in rows])
+        cig_off = np.zeros(n + 1, np.uint64)
+        np.cumsum([len(r[5]) for r in rows], out=cig_off[1:])
+        rc = native.paf_write_native(
+            out_paf, names, contig_names, fields, ops_blob, lens_blob,
+            cig_off,
+        )
+        if rc is not None:
+            return rc
     with open(out_paf, "w") as fp:
-        for ri in sorted(by_read):
-            recs = by_read[ri]
-            recs.sort(key=lambda r: (r.q_start, r.q_end))
-            for pr in recs:
-                fp.write(pr.to_line() + "\n")
-                n += 1
+        for ri, qs_out, qe_out, name, fld, ops, lens in rows:
+            (rlen, _qs, _qe, rel, cid, t_len, t_beg, t_end, n_match,
+             n_block, mapq) = fld
+            pr = cio.PafRecord(
+                q_name=name, q_len=rlen, q_start=qs_out, q_end=qe_out,
+                strand="-" if rel else "+", t_name=contig_names[cid],
+                t_len=t_len, t_start=t_beg, t_end=t_end, n_match=n_match,
+                n_block=n_block, mapq=mapq,
+                tags={"tp": "P", "cg": ccigar.to_string(ops, lens)},
+            )
+            fp.write(pr.to_line() + "\n")
     return n
 
 

@@ -62,12 +62,55 @@ PREFIX_SHIFTS = (1, 2, 4, 8, 16, 32, 64)  # W = 128 doubling levels
 TB_SKIP = False
 GROUP_OVERRIDE: int | None = None
 
-# unroll factors for the DP / traceback fori loops (trace time).  The
-# loops are bound by fixed per-iteration overhead, not vector work
-# (measured: G=64 does half the per-step tile work of G=128 at the SAME
-# per-step time), so unrolling amortizes the control cost directly.
+# unroll factors for the DP / traceback loops (trace time).  The loops
+# are bound by fixed per-iteration overhead, not vector work (measured:
+# G=64 does half the per-step tile work of G=128 at the SAME per-step
+# time), so unrolling amortizes the control cost directly.  The loop
+# bounds are dynamic (scalar-prefetched per-group r_max), which
+# fori_loop's own `unroll` rejects — the unroll is MANUAL: a dynamic
+# block loop whose body runs U statically-unrolled sub-steps, with the
+# out-of-range tail sub-steps neutralized (DP: junk rows store to the
+# never-read row 0; TB: activity requires r >= 1).
 DP_UNROLL = 1
 TB_UNROLL = 1
+
+# independent read-group chains interleaved per grid program (trace
+# time).  The DP/traceback recurrences are SEQUENTIAL dependency chains
+# of vector ops, so a single chain is latency-bound, not
+# throughput-bound (measured: doubling the rows per op barely moves the
+# per-step time).  C chains of GROUP/C reads each carry C independent
+# dataflows through the same loop body, letting the scheduler hide one
+# chain's op latency behind another's.
+N_CHAINS = 1
+
+# DP diagnostic ablations (trace time; outputs WRONG when set) — used
+# only to attribute per-step cost on hardware:
+#   DIAG_NO_SUB:    skip both base windows, constant substitution score
+#   DIAG_NO_PREFIX: skip the in-row prefix-max chain
+#   DIAG_RB_DIRECT: load the read base via a 1-lane dynamic slice
+#                   instead of the wide window+roll
+DIAG_NO_SUB = False
+DIAG_NO_PREFIX = False
+DIAG_RB_DIRECT = False
+
+
+def _tb_loop(r_max, body, carry):
+    """Descending traceback loop r = r_max .. 1 with manual unrolling;
+    ``body(r, carry)`` must be a no-op when r < 1 (junk tail sub-steps
+    pass r <= 0)."""
+    U = TB_UNROLL
+    if U <= 1:
+        return jax.lax.fori_loop(
+            0, r_max, lambda k, c: body(r_max - k, c), carry
+        )
+
+    def block(bk, c):
+        k0 = bk * U
+        for u in range(U):
+            c = body(r_max - (k0 + u), c)
+        return c
+
+    return jax.lax.fori_loop(0, (r_max + U - 1) // U, block, carry)
 
 
 def row_bases(R: int, D: int, W: int) -> np.ndarray:
@@ -233,16 +276,28 @@ def _rowscan_mapping_inner(reads, r_lens, drafts, d_lens, R, D, W, match,
 # --------------------------------------------------------------------------
 
 
-def _window_of(ref, o, size, W):
-    """(G, W) sliding window out[:, k] = ref[:, o + k] for every k whose
+def _window_of(ref, o, size, W, sl=slice(None)):
+    """(G, W) sliding window out[:, k] = ref[sl, o + k] for every k whose
     absolute index lands in [aligned, aligned + 2W) — true for all in-band
     lanes; others hold wrapped garbage (always masked downstream)."""
     WIDE = 2 * W
     aligned = jnp.clip((o // 128) * 128, 0, (size // 128) * 128)
     aligned = pl.multiple_of(aligned, 128)
-    wide = ref[:, pl.ds(aligned, WIDE)]
+    wide = ref[sl, pl.ds(aligned, WIDE)]
     shift = jnp.mod(aligned - o, WIDE)
     return pltpu.roll(wide, shift, axis=1)[:, :W]
+
+
+def _chain_slices(GROUP):
+    """Split a grid program's GROUP rows into N_CHAINS independent
+    chains (sublane slices); falls back toward fewer chains when the
+    group is too small to split."""
+    C = max(1, N_CHAINS)
+    while GROUP % C or GROUP // C < 32:
+        C //= 2
+    C = max(1, C)
+    Gs = GROUP // C
+    return [slice(c * Gs, (c + 1) * Gs) for c in range(C)], Gs
 
 
 def _prefix_max(x, lane, W):
@@ -261,8 +316,10 @@ def _dp_rowscan(base_ref, rpad_ref, dpad_ref, rl, dl, dirs_ref, r_hi,
                 *, R, D, W, match, mismatch, gap, GROUP):
     """Row-scan DP up to row ``r_hi`` (inclusive), directions into
     ``dirs_ref``.  Identical arithmetic to :func:`_rowscan_dirs_inner`
-    (see module docstring for the bit-equality argument)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
+    (see module docstring for the bit-equality argument); the GROUP rows
+    advance as N_CHAINS independent interleaved chains (see above)."""
+    chains, Gs = _chain_slices(GROUP)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Gs, W), 1)
     glane = gap * lane
     inf = jnp.asarray(-NEG, jnp.int32)
     cap_first = jnp.where(lane == 0, NEG, inf)
@@ -270,7 +327,9 @@ def _dp_rowscan(base_ref, rpad_ref, dpad_ref, rl, dl, dirs_ref, r_hi,
     rl_i = rl.astype(jnp.int32)
     dl_i = dl.astype(jnp.int32)
 
-    h0 = jnp.where(lane <= dl_i, glane, NEG)
+    h0 = tuple(
+        jnp.where(lane <= dl_i[sl], glane, NEG) for sl in chains
+    )
     dirs_ref[0] = jnp.zeros((GROUP, W), jnp.uint8)
 
     def rot1l(x):
@@ -279,48 +338,67 @@ def _dp_rowscan(base_ref, rpad_ref, dpad_ref, rl, dl, dirs_ref, r_hi,
     def rot1r(x):
         return pltpu.roll(x, 1, axis=1)
 
-    def step(i, h_prev):
+    def step(i, hs):
         b_i = base_ref[i]
         s = b_i - base_ref[i - 1]
-        up = jnp.where(
-            s == 1, jnp.minimum(rot1l(h_prev), cap_last), h_prev
-        )
-        diag = jnp.where(
-            s == 1, h_prev, jnp.minimum(rot1r(h_prev), cap_first)
-        )
-        rb = _window_of(rpad_ref, i - 1, R, W)[:, :1]
-        db = _window_of(dpad_ref, b_i - 1, D, W)
-        sub = jnp.where(rb == db, match, mismatch)
-        cand_d = diag + sub
-        cand_u = up + gap
-        tmp = jnp.maximum(cand_d, cand_u)
-        valid = (lane <= dl_i - b_i) & (i <= rl_i)
-        x = jnp.where(valid, tmp, NEG) - glane
-        pm = _prefix_max(x, lane, W)
-        h = glane + pm
-        d = jnp.where(
-            h == cand_d,
-            jnp.int32(DIAG),
-            jnp.where(h == cand_u, jnp.int32(UP), jnp.int32(LEFT)),
-        )
-        h = jnp.where(valid, h, NEG)
-        dirs_ref[i] = d.astype(jnp.uint8)
-        return h
+        store_i = jnp.where(i <= r_hi, i, 0) if DP_UNROLL > 1 else i
+        out = []
+        for sl, h_prev in zip(chains, hs):
+            up = jnp.where(
+                s == 1, jnp.minimum(rot1l(h_prev), cap_last), h_prev
+            )
+            diag = jnp.where(
+                s == 1, h_prev, jnp.minimum(rot1r(h_prev), cap_first)
+            )
+            if DIAG_NO_SUB:
+                sub = jnp.where(h_prev > NEG, match, mismatch)
+            else:
+                rb = _window_of(rpad_ref, i - 1, R, W, sl)[:, :1]
+                db = _window_of(dpad_ref, b_i - 1, D, W, sl)
+                sub = jnp.where(rb == db, match, mismatch)
+            cand_d = diag + sub
+            cand_u = up + gap
+            tmp = jnp.maximum(cand_d, cand_u)
+            valid = (lane <= dl_i[sl] - b_i) & (i <= rl_i[sl])
+            x = jnp.where(valid, tmp, NEG) - glane
+            pm = x if DIAG_NO_PREFIX else _prefix_max(x, lane, W)
+            h = glane + pm
+            d = jnp.where(
+                h == cand_d,
+                jnp.int32(DIAG),
+                jnp.where(h == cand_u, jnp.int32(UP), jnp.int32(LEFT)),
+            )
+            h = jnp.where(valid, h, NEG)
+            dirs_ref[store_i, sl] = d.astype(jnp.uint8)
+            out.append(h)
+        return tuple(out)
 
-    jax.lax.fori_loop(
-        1, r_hi + 1, step, h0,
-        unroll=DP_UNROLL if DP_UNROLL > 1 else False,
-    )
+    if DP_UNROLL <= 1:
+        jax.lax.fori_loop(1, r_hi + 1, step, h0)
+    else:
+        U = DP_UNROLL
+
+        def block(bk, h):
+            i0 = 1 + bk * U
+            for u in range(U):
+                h = step(i0 + u, h)
+            return h
+
+        jax.lax.fori_loop(0, (r_hi + U - 1) // U, block, h0)
 
 
-def _tb_resolve(dirs_vmem, base_ref, r, i, j, lane_w, W):
+def _tb_resolve(dirs_vmem, base_ref, r, i, j, lane_w, W,
+                sl=slice(None)):
     """One lockstep traceback row: consume each read's LEFT run and return
-    (active, is_diag, is_up, jp) where jp is the acted-on column."""
-    active = i == r
-    b_r = base_ref[r]
+    (active, is_diag, is_up, jp) where jp is the acted-on column.  A
+    no-op (active all-false) for r < 1 — the unrolled loop's junk tail
+    sub-steps pass r <= 0."""
+    r_c = jnp.maximum(r, 1)
+    active = (i == r) & (r >= 1)
+    b_r = base_ref[r_c]
     lane = j - b_r
     in_band = (lane >= 0) & (lane < W)
-    row = dirs_vmem[r].astype(jnp.int32)
+    row = dirs_vmem[r_c, sl].astype(jnp.int32)
     val_k = jnp.where(row != LEFT, (lane_w << 2) | row, -1)
     pm = _prefix_max(val_k, lane_w, W)
     picked = jnp.sum(
@@ -346,34 +424,40 @@ def _mapping_kernel(base_ref, rmax_ref, rpad_ref, dpad_ref, rlen_ref,
                 R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap,
                 GROUP=GROUP)
 
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
-    col_r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, R), 1)
+    chains, Gs = _chain_slices(GROUP)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (Gs, W), 1)
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (Gs, R), 1)
     # data-dependent init (Mosaic loop-carry layout; min(code, 0) == 0)
-    mapping0 = jnp.full((GROUP, R), -1, jnp.int32) + jnp.minimum(
-        rpad_ref[:, 0:R], 0
+    mapping0s = tuple(
+        jnp.full((Gs, R), -1, jnp.int32)
+        + jnp.minimum(rpad_ref[sl, 0:R], 0)
+        for sl in chains
     )
     if TB_SKIP:
-        map_ref[:] = mapping0
+        for sl, m0 in zip(chains, mapping0s):
+            map_ref[sl] = m0
         return
 
-    def tb_step(k, carry):
-        i, j, mapping = carry
-        r = r_max - k
-        active, is_diag, is_up, jp = _tb_resolve(
-            dirs_vmem, base_ref, r, i, j, lane_w, W
-        )
-        write = is_diag | is_up
-        val = jnp.where(is_diag, jp - 1, -(jp + 2))
-        mapping = jnp.where((col_r == i - 1) & write, val, mapping)
-        i = i - active
-        j = jnp.where(is_diag, jp - 1, jnp.where(is_up, jp, j))
-        return i, j, mapping
+    def tb_step(r, carry):
+        out = []
+        for sl, (i, j, mapping) in zip(chains, carry):
+            active, is_diag, is_up, jp = _tb_resolve(
+                dirs_vmem, base_ref, r, i, j, lane_w, W, sl
+            )
+            write = is_diag | is_up
+            val = jnp.where(is_diag, jp - 1, -(jp + 2))
+            mapping = jnp.where((col_r == i - 1) & write, val, mapping)
+            i = i - active
+            j = jnp.where(is_diag, jp - 1, jnp.where(is_up, jp, j))
+            out.append((i, j, mapping))
+        return tuple(out)
 
-    _, _, mapping = jax.lax.fori_loop(
-        0, r_max, tb_step, (rl, dl, mapping0),
-        unroll=TB_UNROLL if TB_UNROLL > 1 else False,
+    carry0 = tuple(
+        (rl[sl], dl[sl], m0) for sl, m0 in zip(chains, mapping0s)
     )
-    map_ref[:] = mapping
+    final = _tb_loop(r_max, tb_step, carry0)
+    for sl, (_i, _j, mapping) in zip(chains, final):
+        map_ref[sl] = mapping
 
 
 def _votes_kernel(base_ref, rmax_ref, rpad_ref, dpad_ref, rlen_ref,
@@ -400,87 +484,103 @@ def _votes_kernel(base_ref, rmax_ref, rpad_ref, dpad_ref, rlen_ref,
     DQ = D + 128
     WIDE = 2 * W
     PW = pb_vmem.shape[1]
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
-    lane_2w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, WIDE), 1)
-    lane_pw = jax.lax.broadcasted_iota(jnp.int32, (GROUP, PW), 1)
+    chains, Gs = _chain_slices(GROUP)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (Gs, W), 1)
+    lane_2w = jax.lax.broadcasted_iota(jnp.int32, (Gs, WIDE), 1)
+    lane_pw = jax.lax.broadcasted_iota(jnp.int32, (Gs, PW), 1)
     none8 = jnp.full((GROUP, PW), 4, jnp.int8)
     pb_vmem[:] = none8
     pa_vmem[:] = none8
     pa2_vmem[:] = none8
-    # data-dependent inits (Mosaic loop-carry layout)
-    z1 = jnp.minimum(rpad_ref[:, 0:1], 0)
-    run_anchor0 = jnp.full((GROUP, 1), -9, jnp.int32) + z1
-    b_a0 = jnp.full((GROUP, 1), 4, jnp.int32) + z1
-    b_b0 = jnp.full((GROUP, 1), 4, jnp.int32) + z1
-    jmin0 = jnp.full((GROUP, 1), jnp.int32(1 << 29), jnp.int32) + z1
-    jmax0 = jnp.full((GROUP, 1), -1, jnp.int32) + z1
     cap_b = (PW - WIDE) // 128 * 128
 
-    def rmw(ref, aligned, cond, p, val8):
-        wide = ref[:, pl.ds(aligned, WIDE)]
+    def rmw(ref, sl, aligned, cond, p, val8):
+        wide = ref[sl, pl.ds(aligned, WIDE)]
         wide = jnp.where((lane_2w == p) & cond, val8, wide)
-        ref[:, pl.ds(aligned, WIDE)] = wide
+        ref[sl, pl.ds(aligned, WIDE)] = wide
 
-    def tb_step(k, carry):
-        (i, j, run_anchor, b_a, b_b, jmn, jmx) = carry
-        r = r_max - k
-        active, is_diag, is_up, jp = _tb_resolve(
-            dirs_vmem, base_ref, r, i, j, lane_w, W
-        )
-        b_r = base_ref[r]
-        # the active read's base this row is reads[r - 1] (i == r)
-        rb_i = _window_of(rpad_ref, r - 1, R, W)[:, :1] & 3
-        rb8 = rb_i.astype(jnp.int8)
+    def tb_step(r, carry):
+        r_c = jnp.maximum(r, 1)
+        b_r = base_ref[r_c]
         aligned_d = jnp.clip((b_r - 1) // 128 * 128, 0, cap_b)
         aligned_d = pl.multiple_of(aligned_d, 128)
         aligned_q = jnp.clip(b_r // 128 * 128, 0, cap_b)
         aligned_q = pl.multiple_of(aligned_q, 128)
-        # aligned-base vote at col jp - 1 + span stats (diagonal acts)
-        rmw(pb_vmem, aligned_d, is_diag, jp - 1 - aligned_d, rb8)
-        jmn = jnp.where(is_diag, jnp.minimum(jmn, jp - 1), jmn)
-        jmx = jnp.where(is_diag, jnp.maximum(jmx, jp - 1), jmx)
-        # insertion runs: consecutive UP acts at one anchor; eager flush
-        anchor_now = jp - 1
-        same_run = is_up & (run_anchor == anchor_now)
-        has_run = run_anchor >= -1
-        ended = active & has_run & jnp.logical_not(same_run)
-        q_t = run_anchor + 1
-        rmw(pa_vmem, aligned_q, ended, q_t - aligned_q,
-            b_a.astype(jnp.int8))
-        rmw(pa2_vmem, aligned_q, ended, q_t - aligned_q,
-            b_b.astype(jnp.int8))
-        b_b = jnp.where(same_run, b_a, jnp.where(is_up, 4, b_b))
-        b_a = jnp.where(is_up, rb_i, jnp.where(ended, 4, b_a))
-        run_anchor = jnp.where(
-            is_up, anchor_now, jnp.where(ended, -9, run_anchor)
-        )
-        i = i - active
-        j = jnp.where(is_diag, jp - 1, jnp.where(is_up, jp, j))
-        return (i, j, run_anchor, b_a, b_b, jmn, jmx)
+        out = []
+        for sl, (i, j, run_anchor, b_a, b_b, jmn, jmx) in zip(
+            chains, carry
+        ):
+            active, is_diag, is_up, jp = _tb_resolve(
+                dirs_vmem, base_ref, r, i, j, lane_w, W, sl
+            )
+            # the active read's base this row is reads[r - 1] (i == r)
+            rb_i = _window_of(rpad_ref, r_c - 1, R, W, sl)[:, :1] & 3
+            rb8 = rb_i.astype(jnp.int8)
+            # aligned-base vote at col jp - 1 + span stats (diag acts)
+            rmw(pb_vmem, sl, aligned_d, is_diag, jp - 1 - aligned_d, rb8)
+            jmn = jnp.where(is_diag, jnp.minimum(jmn, jp - 1), jmn)
+            jmx = jnp.where(is_diag, jnp.maximum(jmx, jp - 1), jmx)
+            # insertion runs: consecutive UP acts at one anchor; eager
+            # flush on the next non-continuing act
+            anchor_now = jp - 1
+            same_run = is_up & (run_anchor == anchor_now)
+            has_run = run_anchor >= -1
+            ended = active & has_run & jnp.logical_not(same_run)
+            q_t = run_anchor + 1
+            rmw(pa_vmem, sl, aligned_q, ended, q_t - aligned_q,
+                b_a.astype(jnp.int8))
+            rmw(pa2_vmem, sl, aligned_q, ended, q_t - aligned_q,
+                b_b.astype(jnp.int8))
+            b_b = jnp.where(same_run, b_a, jnp.where(is_up, 4, b_b))
+            b_a = jnp.where(is_up, rb_i, jnp.where(ended, 4, b_a))
+            run_anchor = jnp.where(
+                is_up, anchor_now, jnp.where(ended, -9, run_anchor)
+            )
+            i = i - active
+            j = jnp.where(is_diag, jp - 1, jnp.where(is_up, jp, j))
+            out.append((i, j, run_anchor, b_a, b_b, jmn, jmx))
+        return tuple(out)
 
-    carry = (rl, dl, run_anchor0, b_a0, b_b0, jmin0, jmax0)
-    carry = jax.lax.fori_loop(0, r_max, tb_step, carry)
-    (_, _, run_anchor, b_a, b_b, _, _) = carry
-    jmn, jmx = carry[5], carry[6]
-    # final flush: a run still open when the walk leaves the loop (its
-    # last act was the UP into row 0) targets q = run_anchor + 1, which
-    # can sit anywhere in [0, D] — one full-width masked write, once
-    has_run = run_anchor >= -1
-    q_t = run_anchor + 1
-    pa_vmem[:] = jnp.where(
-        (lane_pw == q_t) & has_run, b_a.astype(jnp.int8), pa_vmem[:]
+    def reg0(v):
+        # data-dependent inits (Mosaic loop-carry layout)
+        return tuple(
+            jnp.full((Gs, 1), v, jnp.int32)
+            + jnp.minimum(rpad_ref[sl, 0:1], 0)
+            for sl in chains
+        )
+
+    carry0 = tuple(
+        (rl[sl], dl[sl], ra, ba, bb, mn, mx)
+        for sl, ra, ba, bb, mn, mx in zip(
+            chains, reg0(-9), reg0(4), reg0(4), reg0(jnp.int32(1 << 29)),
+            reg0(-1),
+        )
     )
-    pa2_vmem[:] = jnp.where(
-        (lane_pw == q_t) & has_run, b_b.astype(jnp.int8), pa2_vmem[:]
-    )
+    final = _tb_loop(r_max, tb_step, carry0)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (Gs, 128), 1)
+    for sl, (_i, _j, run_anchor, b_a, b_b, jmn, jmx) in zip(
+        chains, final
+    ):
+        # final flush: a run still open when the walk leaves the loop
+        # (its last act was the UP into row 0) targets q = run_anchor+1,
+        # anywhere in [0, D] — one full-width masked write, once
+        has_run = run_anchor >= -1
+        q_t = run_anchor + 1
+        pa_vmem[sl] = jnp.where(
+            (lane_pw == q_t) & has_run, b_a.astype(jnp.int8),
+            pa_vmem[sl],
+        )
+        pa2_vmem[sl] = jnp.where(
+            (lane_pw == q_t) & has_run, b_b.astype(jnp.int8),
+            pa2_vmem[sl],
+        )
+        stats_ref[sl] = jnp.where(
+            lane_s == 0, jmn, jnp.where(lane_s == 1, jmx, 0)
+        )
     planes_ref[:, 0:D] = pb_vmem[:, 0:D].astype(jnp.uint8)
     planes_ref[:, D : D + DQ] = pa_vmem[:, 0:DQ].astype(jnp.uint8)
     planes_ref[:, D + DQ : D + 2 * DQ] = pa2_vmem[:, 0:DQ] \
         .astype(jnp.uint8)
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
-    stats_ref[:] = jnp.where(
-        lane_s == 0, jmn, jnp.where(lane_s == 1, jmx, 0)
-    )
 
 
 # --------------------------------------------------------------------------
@@ -595,54 +695,61 @@ def _cigar_kernel(base_ref, rmax_ref, rpad_ref, dpad_ref, rlen_ref,
                 R=R, D=D, W=W, match=match, mismatch=mismatch, gap=gap,
                 GROUP=GROUP)
 
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
-    lane_m = jax.lax.broadcasted_iota(jnp.int32, (GROUP, MAXR), 1)
-    z1 = jnp.minimum(rpad_ref[:, 0:1], 0)
-    runs0 = jnp.zeros((GROUP, MAXR), jnp.int32) + z1
+    chains, Gs = _chain_slices(GROUP)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (Gs, W), 1)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (Gs, MAXR), 1)
 
-    def tb_step(k, carry):
-        i, j, cur_op, cur_len, n_runs, runs = carry
-        r = r_max - k
-        active, is_diag, is_up, jp = _tb_resolve(
-            dirs_vmem, base_ref, r, i, j, lane_w, W
+    def tb_step(r, carry):
+        out = []
+        for sl, (i, j, cur_op, cur_len, n_runs, runs) in zip(
+            chains, carry
+        ):
+            active, is_diag, is_up, jp = _tb_resolve(
+                dirs_vmem, base_ref, r, i, j, lane_w, W, sl
+            )
+            len_d = j - jp
+            emit_d = active & (len_d > 0)
+            flush1 = emit_d & (cur_len > 0)
+            runs, n_runs = _runs_emit(runs, n_runs, lane_m, flush1,
+                                      cur_op, cur_len)
+            runs, n_runs = _runs_emit(runs, n_runs, lane_m, emit_d,
+                                      jnp.int32(LEFT), len_d)
+            cur_len = jnp.where(emit_d, 0, cur_len)
+            act_op = jnp.where(is_diag, jnp.int32(DIAG), jnp.int32(UP))
+            same = active & (cur_len > 0) & (cur_op == act_op)
+            flush2 = active & (cur_len > 0) & (cur_op != act_op)
+            runs, n_runs = _runs_emit(runs, n_runs, lane_m, flush2,
+                                      cur_op, cur_len)
+            cur_len = jnp.where(active, jnp.where(same, cur_len + 1, 1),
+                                cur_len)
+            cur_op = jnp.where(active, act_op, cur_op)
+            i = i - active
+            j = jnp.where(is_diag, jp - 1, jnp.where(active, jp, j))
+            out.append((i, j, cur_op, cur_len, n_runs, runs))
+        return tuple(out)
+
+    def z1(sl):
+        return jnp.minimum(rpad_ref[sl, 0:1], 0)
+
+    carry0 = tuple(
+        (
+            rl[sl], dl[sl],
+            jnp.full((Gs, 1), -1, jnp.int32) + z1(sl),
+            jnp.zeros((Gs, 1), jnp.int32) + z1(sl),
+            jnp.zeros((Gs, 1), jnp.int32) + z1(sl),
+            jnp.zeros((Gs, MAXR), jnp.int32) + z1(sl),
         )
-        len_d = j - jp
-        emit_d = active & (len_d > 0)
-        flush1 = emit_d & (cur_len > 0)
-        runs, n_runs = _runs_emit(runs, n_runs, lane_m, flush1, cur_op,
-                                  cur_len)
-        runs, n_runs = _runs_emit(runs, n_runs, lane_m, emit_d,
-                                  jnp.int32(LEFT), len_d)
-        cur_len = jnp.where(emit_d, 0, cur_len)
-        act_op = jnp.where(is_diag, jnp.int32(DIAG), jnp.int32(UP))
-        same = active & (cur_len > 0) & (cur_op == act_op)
-        flush2 = active & (cur_len > 0) & (cur_op != act_op)
-        runs, n_runs = _runs_emit(runs, n_runs, lane_m, flush2, cur_op,
-                                  cur_len)
-        cur_len = jnp.where(active, jnp.where(same, cur_len + 1, 1),
-                            cur_len)
-        cur_op = jnp.where(active, act_op, cur_op)
-        i = i - active
-        j = jnp.where(is_diag, jp - 1, jnp.where(active, jp, j))
-        return i, j, cur_op, cur_len, n_runs, runs
-
-    carry = (
-        rl, dl,
-        jnp.full((GROUP, 1), -1, jnp.int32) + z1,
-        jnp.zeros((GROUP, 1), jnp.int32) + z1,
-        jnp.zeros((GROUP, 1), jnp.int32) + z1,
-        runs0,
+        for sl in chains
     )
-    _, j, cur_op, cur_len, n_runs, runs = jax.lax.fori_loop(
-        0, r_max, tb_step, carry
-    )
-    runs, n_runs = _runs_emit(runs, n_runs, lane_m, cur_len > 0, cur_op,
-                              cur_len)
-    runs, n_runs = _runs_emit(runs, n_runs, lane_m, j > 0,
-                              jnp.int32(LEFT), j)
-    runs_ref[:] = runs
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
-    cnt_ref[:] = jnp.where(lane_s == 0, n_runs, 0)
+    final = _tb_loop(r_max, tb_step, carry0)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (Gs, 128), 1)
+    for sl, (_i, j, cur_op, cur_len, n_runs, runs) in zip(chains, final):
+        runs, n_runs = _runs_emit(runs, n_runs, lane_m, cur_len > 0,
+                                  cur_op, cur_len)
+        runs, n_runs = _runs_emit(runs, n_runs, lane_m, j > 0,
+                                  jnp.int32(LEFT), j)
+        runs_ref[sl] = runs
+        cnt_ref[sl] = jnp.where(lane_s == 0, n_runs, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
@@ -653,7 +760,7 @@ def rowscan_cigar_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
     true run count (> MAXR = overflow, fall back)."""
     B = reads.shape[0]
     G, group_rmax = _group_and_rmax(B, R, D, W, r_lens)
-    base = jnp.asarray(row_bases(R, D, W), dtype=jnp.int32)
+    base = _base_padded(R, D, W)
     kernel = functools.partial(
         _cigar_kernel, R=R, D=D, W=W, match=match, mismatch=mismatch,
         gap=gap, GROUP=G, MAXR=MAXR,
@@ -777,6 +884,16 @@ def cigar_runs_device_sharded(reads, r_lens, drafts, d_lens, mesh, W=128,
     )
 
 
+def _base_padded(R, D, W):
+    """Row bases padded by the max unroll factor: the unrolled loops' junk
+    tail sub-steps index past row R (their s stays 0 on the repeated last
+    value, and their stores/activity are masked)."""
+    b = row_bases(R, D, W)
+    return jnp.asarray(
+        np.concatenate([b, np.repeat(b[-1:], 8)]), dtype=jnp.int32
+    )
+
+
 def _group_and_rmax(B, R, D, W, r_lens):
     G = GROUP_OVERRIDE or group_for(R, D, W)
     while B % G:
@@ -794,7 +911,7 @@ def rowscan_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
     :func:`haslr_tpu.kernels.nw.traceback_batch`)."""
     B = reads.shape[0]
     G, group_rmax = _group_and_rmax(B, R, D, W, r_lens)
-    base = jnp.asarray(row_bases(R, D, W), dtype=jnp.int32)
+    base = _base_padded(R, D, W)
     kernel = functools.partial(
         _mapping_kernel, R=R, D=D, W=W, match=match, mismatch=mismatch,
         gap=gap, GROUP=G,
@@ -837,7 +954,7 @@ def rowscan_votes_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
     unchanged by ``consensus_dense._kernel_vote_tables``."""
     B = reads.shape[0]
     G, group_rmax = _group_and_rmax(B, R, D, W, r_lens)
-    base = jnp.asarray(row_bases(R, D, W), dtype=jnp.int32)
+    base = _base_padded(R, D, W)
     DQ = D + 128
     kernel = functools.partial(
         _votes_kernel, R=R, D=D, W=W, match=match, mismatch=mismatch,

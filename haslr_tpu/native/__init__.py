@@ -23,6 +23,7 @@ _SOURCES = [
     os.path.join(_DIR, "mapcig.cpp"),
     os.path.join(_DIR, "poa.cpp"),
     os.path.join(_DIR, "kmer.cpp"),
+    os.path.join(_DIR, "paf.cpp"),
 ]
 _lib = None
 _tried = False
@@ -125,6 +126,15 @@ def get_lib():
     lib.hx_chain_indices.argtypes = [ctypes.c_void_p]
     lib.hx_chain_free.restype = None
     lib.hx_chain_free.argtypes = [ctypes.c_void_p]
+    # bulk PAF formatting + write
+    lib.hx_paf_write.restype = ctypes.c_int64
+    lib.hx_paf_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+    ]
     # batched CIGAR runs -> normalized CIGAR + n_eq
     lib.hx_runcig_run.restype = ctypes.c_void_p
     lib.hx_runcig_run.argtypes = [
@@ -304,6 +314,38 @@ def runs_cigars_native(runs, n_runs, reads, drafts, r_lens, d_lens):
         ]
     finally:
         lib.hx_mapcig_free(h)
+
+
+def paf_write_native(path, names, tnames, fields, ops_blob, lens_blob,
+                     cig_off):
+    """Bulk PAF write: ``names``/``tnames`` are str lists, ``fields`` an
+    (n, 11) int64 array (see paf.cpp for the column layout), ops/lens the
+    concatenated CIGAR runs with (n+1) offsets.  Returns the record count
+    or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nb = "".join(names).encode()
+    n_off = np.zeros(len(names) + 1, np.uint64)
+    np.cumsum([len(s.encode()) for s in names], out=n_off[1:])
+    tb = "".join(tnames).encode()
+    t_off = np.zeros(len(tnames) + 1, np.uint64)
+    np.cumsum([len(s.encode()) for s in tnames], out=t_off[1:])
+    fields = np.ascontiguousarray(fields, dtype=np.int64)
+    ops_blob = np.ascontiguousarray(ops_blob, dtype=np.uint8)
+    lens_blob = np.ascontiguousarray(lens_blob, dtype=np.int64)
+    cig_off = np.ascontiguousarray(cig_off, dtype=np.uint64)
+    rc = lib.hx_paf_write(
+        path.encode(), nb,
+        n_off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), tb,
+        t_off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        fields.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ops_blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens_blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cig_off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(fields),
+    )
+    return None if rc < 0 else int(rc)
 
 
 def chain_anchors_native(t_pos, q_pos, k, window, max_gap, min_score,

@@ -221,3 +221,41 @@ def test_mapcig_native_matches_python():
         assert np.array_equal(ops, n_ops), b
         assert np.array_equal(lens, n_lens), b
         assert neq == n_neq, b
+
+
+def test_native_paf_writer_byte_identical(tmp_path, monkeypatch):
+    """native/paf.cpp must produce byte-identical output to the Python
+    PafRecord.to_line fallback on a real mapping run."""
+    import numpy as np
+
+    from haslr_tpu import native
+    from haslr_tpu.aligner.map import map_reads
+    from haslr_tpu.testutil import simulate
+
+    rng = np.random.default_rng(14)
+    genome = simulate.genome_with_repeats(
+        rng, 15_000, n_families=2, copies_per_family=3, repeat_len=300
+    )
+    ctg = str(tmp_path / "ctg.fa")
+    with open(ctg, "w") as fp:
+        for i in range(0, len(genome) - 1500, 1500):
+            fp.write(f">{i // 1500}\n{genome[i:i + 2000]}\n")
+    reads = simulate.make_reads(
+        rng, genome, coverage=3.0, mean_len=5000, error_rate=0.06
+    )
+    lr = str(tmp_path / "lr.fa")
+    with open(lr, "w") as fp:
+        for r in reads:
+            fp.write(f">{r.rid}\n{r.seq}\n")
+    p_nat = str(tmp_path / "nat.paf")
+    p_py = str(tmp_path / "py.paf")
+    n1 = map_reads(ctg, lr, p_nat)
+    monkeypatch.setattr(native, "paf_write_native",
+                        lambda *a, **k: None)
+    n2 = map_reads(ctg, lr, p_py)
+    assert n1 == n2 and n1 > 0
+    with open(p_nat, "rb") as f:
+        a = f.read()
+    with open(p_py, "rb") as f:
+        b = f.read()
+    assert a == b
