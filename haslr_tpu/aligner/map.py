@@ -40,20 +40,26 @@ PRESETS = {
 
 
 def collect_anchors(idx: MinimizerIndex, codes: np.ndarray):
-    """All (contig_id, rel_strand, t_pos, q_pos) anchors for one read.
+    """All (contig_id, rel_strand, t_pos, q_pos) anchors for one read,
+    grouped by (contig, relative strand).
 
-    ``q_pos`` is in the frame of the read orientation that matches the
-    target forward strand (i.e. for rel_strand==1 it is a position on the
-    reverse-complemented read), which makes chaining and extension uniform;
-    conversion back to original read coordinates happens at PAF emission.
+    Returns ``(cids, rels, group_off, t, q)``: per-group contig id and
+    strand plus (n_groups + 1) offsets into the flat anchor arrays,
+    which are sorted by (cid, rel, t, q) — so each group's slice is
+    sorted by (t, q), the chaining DP's input contract.  ``q_pos`` is in
+    the frame of the read orientation that matches the target forward
+    strand (for rel_strand==1 a position on the reverse-complemented
+    read); conversion back to original read coordinates happens at PAF
+    emission.
     """
     rlen = len(codes)
+    z = np.zeros(0, np.int64)
     h, qp, qe, qs = mz.minimizers(codes, idx.k, idx.w, idx.hpc)
     lo, hi = idx.lookup(h)
     occ = hi - lo
     keep = (occ > 0) & (occ <= idx.max_occ)
     if not keep.any():
-        return {}
+        return z, z, np.zeros(1, np.int64), z, z
     l, c = lo[keep], (hi - lo)[keep]
     total = int(c.sum())
     # enumerate all index entries of all kept seeds in one shot
@@ -73,31 +79,59 @@ def collect_anchors(idx: MinimizerIndex, codes: np.ndarray):
     boundary = np.concatenate(
         [[True], (cid[1:] != cid[:-1]) | (rel[1:] != rel[:-1])]
     )
-    idxs = np.nonzero(boundary)[0]
-    out = {}
-    for s, e in zip(idxs, np.concatenate([idxs[1:], [total]])):
-        out[(int(cid[s]), int(rel[s]))] = np.stack(
-            [t[s:e], q[s:e]], axis=1
-        )
-    return out
+    g0 = np.nonzero(boundary)[0]
+    group_off = np.concatenate([g0, [total]]).astype(np.int64)
+    return (cid[g0].astype(np.int64), rel[g0].astype(np.int64),
+            group_off, t.astype(np.int64), q.astype(np.int64))
 
 
 def accept_chains(idx, codes, min_chain_score=40.0, min_anchors=3):
     """Chain anchors in every (contig, strand) group and greedily accept
     chains with <50% query overlap, tracking the best comparable
     competitor per accepted chain for MAPQ.  Returns rows
-    ``[score, f2, cid, rel, t_arr, q_arr, (qs, qe)]``."""
+    ``[score, f2, cid, rel, t_arr, q_arr, (qs, qe)]``.
+
+    All of a read's groups chain in ONE native call
+    (``native.chain_anchors_batch_native``) — the per-group ctypes
+    crossing was ~44% of the whole seed+chain phase at the 50 Mb tier
+    (6.8M tiny calls)."""
+    from haslr_tpu import native
+
     rlen = len(codes)
-    groups = collect_anchors(idx, codes)
+    cids, rels, group_off, t_all, q_all = collect_anchors(idx, codes)
     all_chains = []  # (score, cid, rel, t_arr, q_arr)
-    for (cid, rel), arr in groups.items():
-        arr = arr.astype(np.int64)  # already sorted by (t, q)
-        chains = chain_anchors(
-            arr[:, 0], arr[:, 1], idx.k,
-            min_score=min_chain_score, min_anchors=min_anchors,
+    batch = (
+        native.chain_anchors_batch_native(
+            t_all, q_all, group_off, idx.k, 50, 5000, min_chain_score,
+            min_anchors,
         )
-        for score, sel in chains:
-            all_chains.append((score, cid, rel, arr[sel, 0], arr[sel, 1]))
+        if len(cids)
+        else (np.zeros(0), np.zeros(0, np.int64), np.zeros(1, np.uint64),
+              np.zeros(0, np.int64))
+    )
+    if batch is not None:
+        scores, gids, offs, idxs = batch
+        for ci in range(len(scores)):
+            g = int(gids[ci])
+            base = group_off[g]
+            sel = base + idxs[offs[ci] : offs[ci + 1]]
+            all_chains.append((
+                float(scores[ci]), int(cids[g]), int(rels[g]),
+                t_all[sel], q_all[sel],
+            ))
+    else:
+        for g in range(len(cids)):
+            sl = slice(group_off[g], group_off[g + 1])
+            chains = chain_anchors(
+                t_all[sl], q_all[sl], idx.k,
+                min_score=min_chain_score, min_anchors=min_anchors,
+            )
+            base = group_off[g]
+            for score, sel in chains:
+                all_chains.append((
+                    score, int(cids[g]), int(rels[g]),
+                    t_all[base + sel], q_all[base + sel],
+                ))
     all_chains.sort(key=lambda c: -c[0])
     accepted = []
     for score, cid, rel, t_arr, q_arr in all_chains:
@@ -240,7 +274,7 @@ def _emit_all(pending, seg_results, contig_names, contig_codes, out_paf):
     rows = []
     for (ri, name, rlen, rel, cid, q_arr, t_arr, parts, seg_base, score,
          f2) in pending:
-        ops, lens, n_match = assemble_parts(parts, seg_results[seg_base:])
+        ops, lens, n_match = assemble_parts(parts, seg_results, seg_base)
         q_beg = int(q_arr[0])
         q_end = q_beg + ccigar.query_len(ops, lens)
         t_beg = int(t_arr[0])

@@ -116,6 +116,14 @@ def get_lib():
         ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
         ctypes.c_double, ctypes.c_int,
     ]
+    lib.hx_chain_batch.restype = ctypes.c_void_p
+    lib.hx_chain_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_double, ctypes.c_int,
+    ]
+    lib.hx_chain_group_ids.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.hx_chain_group_ids.argtypes = [ctypes.c_void_p]
     lib.hx_chain_n.restype = ctypes.c_uint64
     lib.hx_chain_n.argtypes = [ctypes.c_void_p]
     lib.hx_chain_scores.restype = ctypes.POINTER(ctypes.c_double)
@@ -346,6 +354,50 @@ def paf_write_native(path, names, tnames, fields, ops_blob, lens_blob,
         len(fields),
     )
     return None if rc < 0 else int(rc)
+
+
+def chain_anchors_batch_native(t_pos, q_pos, group_off, k, window,
+                               max_gap, min_score, min_anchors):
+    """Chain EVERY (target, strand) group of one read in a single native
+    call.  ``group_off``: (n_groups + 1) offsets into the flat sorted
+    anchor arrays.  Returns ``(scores, group_ids, offsets, indices)``
+    with chain anchor indices relative to their group's start, or None
+    when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t_pos = np.ascontiguousarray(t_pos, dtype=np.int64)
+    q_pos = np.ascontiguousarray(q_pos, dtype=np.int64)
+    group_off = np.ascontiguousarray(group_off, dtype=np.uint64)
+    h = lib.hx_chain_batch(
+        t_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        q_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        group_off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(group_off) - 1, k, window, max_gap, min_score, min_anchors,
+    )
+    if not h:
+        return None
+    try:
+        n = lib.hx_chain_n(h)
+        if n == 0:
+            return (np.zeros(0), np.zeros(0, np.int64),
+                    np.zeros(1, np.uint64), np.zeros(0, np.int64))
+        scores = np.ctypeslib.as_array(
+            lib.hx_chain_scores(h), shape=(n,)
+        ).copy()
+        gids = np.ctypeslib.as_array(
+            lib.hx_chain_group_ids(h), shape=(n,)
+        ).copy()
+        offs = np.ctypeslib.as_array(
+            lib.hx_chain_offsets(h), shape=(n + 1,)
+        ).copy()
+        total = int(offs[-1])
+        idxs = np.ctypeslib.as_array(
+            lib.hx_chain_indices(h), shape=(total,)
+        ).copy() if total else np.zeros(0, np.int64)
+        return scores, gids, offs, idxs
+    finally:
+        lib.hx_chain_free(h)
 
 
 def chain_anchors_native(t_pos, q_pos, k, window, max_gap, min_score,

@@ -18,8 +18,9 @@ namespace {
 
 struct ChainResult {
     std::vector<double> scores;
-    std::vector<uint64_t> offsets;  // n_chains + 1
-    std::vector<int64_t> indices;   // concatenated anchor indices
+    std::vector<int64_t> group_ids;  // per chain (batch entry point)
+    std::vector<uint64_t> offsets;   // n_chains + 1
+    std::vector<int64_t> indices;    // concatenated anchor indices
 };
 
 inline double gap_cost(int64_t diff, int k) {
@@ -28,16 +29,12 @@ inline double gap_cost(int64_t diff, int k) {
     return 0.01 * k * d + 0.5 * std::log2(d + 1.0);
 }
 
-}  // namespace
-
-extern "C" {
-
-void* hx_chain_run(const int64_t* t_pos, const int64_t* q_pos, uint64_t n,
-                   int k, int window, int64_t max_gap, double min_score,
-                   int min_anchors) {
-    auto* res = new ChainResult();
-    res->offsets.push_back(0);
-    if (n == 0) return res;
+// One (target, strand) group's DP + best-first extraction, appending
+// chains (with group id) into res.  Identical semantics to hx_chain_run.
+void chain_group(const int64_t* t_pos, const int64_t* q_pos, uint64_t n,
+                 int k, int window, int64_t max_gap, double min_score,
+                 int min_anchors, int64_t gid, ChainResult* res) {
+    if (n == 0) return;
     std::vector<double> f(n, static_cast<double>(k));
     std::vector<int64_t> pred(n, -1);
     for (uint64_t i = 1; i < n; i++) {
@@ -65,7 +62,6 @@ void* hx_chain_run(const int64_t* t_pos, const int64_t* q_pos, uint64_t n,
             pred[i] = best_j;
         }
     }
-    // best-first extraction (stable descending by score, then index)
     std::vector<uint64_t> order(n);
     std::iota(order.begin(), order.end(), 0);
     std::stable_sort(order.begin(), order.end(),
@@ -87,9 +83,46 @@ void* hx_chain_run(const int64_t* t_pos, const int64_t* q_pos, uint64_t n,
             marginal < min_score)
             continue;
         res->scores.push_back(marginal);
+        res->group_ids.push_back(gid);
         res->indices.insert(res->indices.end(), idx.rbegin(), idx.rend());
         res->offsets.push_back(res->indices.size());
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// All of one read's (target, strand) groups chained in ONE call: the
+// per-group ctypes/numpy crossing measured ~44% of the whole
+// seed+chain phase (6.8M tiny calls at the 50 Mb tier).  ``group_off``
+// holds n_groups + 1 offsets into the flat (t_pos, q_pos) arrays;
+// chain anchor indices are RELATIVE to their group's start.
+void* hx_chain_batch(const int64_t* t_pos, const int64_t* q_pos,
+                     const uint64_t* group_off, uint64_t n_groups, int k,
+                     int window, int64_t max_gap, double min_score,
+                     int min_anchors) {
+    auto* res = new ChainResult();
+    res->offsets.push_back(0);
+    for (uint64_t g = 0; g < n_groups; g++) {
+        uint64_t lo = group_off[g], hi = group_off[g + 1];
+        chain_group(t_pos + lo, q_pos + lo, hi - lo, k, window, max_gap,
+                    min_score, min_anchors, static_cast<int64_t>(g), res);
+    }
+    return res;
+}
+
+const int64_t* hx_chain_group_ids(void* h) {
+    return static_cast<ChainResult*>(h)->group_ids.data();
+}
+
+void* hx_chain_run(const int64_t* t_pos, const int64_t* q_pos, uint64_t n,
+                   int k, int window, int64_t max_gap, double min_score,
+                   int min_anchors) {
+    auto* res = new ChainResult();
+    res->offsets.push_back(0);
+    chain_group(t_pos, q_pos, n, k, window, max_gap, min_score,
+                min_anchors, 0, res);
     return res;
 }
 

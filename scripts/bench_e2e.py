@@ -15,11 +15,17 @@ Usage: python scripts/bench_e2e.py [--scale 4600000] [--data DIR] [--out DIR]
 """
 
 import argparse
+import faulthandler
 import json
 import os
 import shutil
 import sys
 import time
+
+# long runs at new scales hit walls in places profilers can't reach on
+# this box (no py-spy/gdb): dump every thread's stack to stderr every
+# 10 minutes so a stalled stage identifies itself
+faulthandler.dump_traceback_later(600, repeat=True)
 
 import numpy as np
 
