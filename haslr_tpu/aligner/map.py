@@ -361,7 +361,6 @@ def map_reads(
     """
     k, w, hpc = PRESETS[read_type]
     contig_names, contig_codes = _load_contigs(contig_fasta)
-    idx = MinimizerIndex.build(contig_codes, k, w, hpc)
     sh_i, sh_n = host_shard if host_shard is not None else (0, 1)
 
     import time as _time
@@ -369,11 +368,15 @@ def map_reads(
     PROF.clear()
     _t0 = _time.time()
     if threads > 1:
+        # the worker processes each build their own index replica; the
+        # main process never seeds, so building one here is pure waste
         pending, segments = _seed_chain_shards(
             contig_fasta, reads_fasta, read_type, min_chain_score, threads,
             host_shard,
         )
     else:
+        idx = MinimizerIndex.build(contig_codes, k, w, hpc)
+
         def reads():
             for ri, rec in enumerate(cio.read_fastx(reads_fasta)):
                 if ri % sh_n == sh_i:

@@ -92,6 +92,9 @@ N_CHAINS = 1
 DIAG_NO_SUB = False
 DIAG_NO_PREFIX = False
 DIAG_RB_DIRECT = False
+#   DIAG_NO_STORE:  write every direction row to row 0 (tiny scratch) —
+#                   measures pure DP compute scaling with GROUP
+DIAG_NO_STORE = False
 
 
 def _tb_loop(r_max, body, carry):
@@ -341,7 +344,10 @@ def _dp_rowscan(base_ref, rpad_ref, dpad_ref, rl, dl, dirs_ref, r_hi,
     def step(i, hs):
         b_i = base_ref[i]
         s = b_i - base_ref[i - 1]
-        store_i = jnp.where(i <= r_hi, i, 0) if DP_UNROLL > 1 else i
+        if DIAG_NO_STORE:
+            store_i = 0
+        else:
+            store_i = jnp.where(i <= r_hi, i, 0) if DP_UNROLL > 1 else i
         out = []
         for sl, h_prev in zip(chains, hs):
             up = jnp.where(
@@ -930,7 +936,9 @@ def rowscan_mapping_pallas(reads, r_lens, drafts, d_lens, R, D, W, match,
             ],
             out_specs=pl.BlockSpec((G, R), lambda i, *_: (i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((R + 1, G, W), jnp.uint8),
+                pltpu.VMEM(
+                    (2 if DIAG_NO_STORE else R + 1, G, W), jnp.uint8
+                ),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, R), jnp.int32),
