@@ -27,6 +27,9 @@ class MinimizerIndex:
     strands: np.ndarray     # uint8
     contig_lens: np.ndarray
     max_occ: int = 50       # ignore seeds more frequent than this
+    # top-16-bit bucket prefix offsets (65537 entries): narrows each
+    # lookup's binary search to a cache-resident range
+    bucket_start: np.ndarray | None = None
 
     @classmethod
     def build(cls, contig_codes: list, k: int, w: int, hpc: bool = False,
@@ -44,11 +47,29 @@ class MinimizerIndex:
         p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
         s = np.concatenate(ss) if ss else np.zeros(0, np.uint8)
         order = np.argsort(h, kind="stable")
-        return cls(k, w, hpc, h[order], cid[order], p[order], s[order], lens,
-                   max_occ)
+        h = h[order]
+        bstart = np.searchsorted(
+            h, np.arange(1 << 16, dtype=np.uint64) << np.uint64(48),
+            side="left",
+        ).astype(np.uint64)
+        bstart = np.concatenate([bstart, [np.uint64(len(h))]])
+        return cls(k, w, hpc, h, cid[order], p[order], s[order], lens,
+                   max_occ, bstart)
 
     def lookup(self, query_hashes: np.ndarray):
-        """For each query hash: (start, end) slice into the index arrays."""
+        """For each query hash: (start, end) slice into the index arrays.
+
+        The native bucketed equal-range (chain.cpp::hx_idx_lookup)
+        replaces two whole-array numpy searchsorted calls per read —
+        measured ~35% of the 50 Mb seed+chain phase."""
+        if self.bucket_start is not None:
+            from haslr_tpu import native
+
+            out = native.idx_lookup_native(
+                self.hashes, self.bucket_start, query_hashes
+            )
+            if out is not None:
+                return out
         lo = np.searchsorted(self.hashes, query_hashes, side="left")
         hi = np.searchsorted(self.hashes, query_hashes, side="right")
         return lo, hi

@@ -124,6 +124,12 @@ def get_lib():
     ]
     lib.hx_chain_group_ids.restype = ctypes.POINTER(ctypes.c_int64)
     lib.hx_chain_group_ids.argtypes = [ctypes.c_void_p]
+    lib.hx_idx_lookup.restype = None
+    lib.hx_idx_lookup.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.hx_chain_n.restype = ctypes.c_uint64
     lib.hx_chain_n.argtypes = [ctypes.c_void_p]
     lib.hx_chain_scores.restype = ctypes.POINTER(ctypes.c_double)
@@ -322,6 +328,30 @@ def runs_cigars_native(runs, n_runs, reads, drafts, r_lens, d_lens):
         ]
     finally:
         lib.hx_mapcig_free(h)
+
+
+def idx_lookup_native(hashes_sorted, bstart, queries):
+    """Bucketed equal-range lookup in a sorted uint64 hash array; returns
+    (lo, hi) int64 arrays or None when the library is unavailable.
+    ``bstart``: 65537 top-16-bit bucket prefix offsets."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    hashes_sorted = np.ascontiguousarray(hashes_sorted, dtype=np.uint64)
+    bstart = np.ascontiguousarray(bstart, dtype=np.uint64)
+    q = np.ascontiguousarray(queries, dtype=np.uint64)
+    m = len(q)
+    lo = np.empty(m, np.int64)
+    hi = np.empty(m, np.int64)
+    lib.hx_idx_lookup(
+        hashes_sorted.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        bstart.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        m,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return lo, hi
 
 
 def paf_write_native(path, names, tnames, fields, ops_blob, lens_blob,
