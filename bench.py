@@ -228,11 +228,14 @@ def bench_kmer_rate_native(n_reads=320_000, coverage_sim=True):
 
 def bench_kmer_rate_multihost(n_reads=320_000, n_shards=8):
     """Multi-host SR counting path (Mbases/s): native host count per
-    contiguous read shard at min_count=1 + prefix-range merge (the
+    contiguous read shard at min_count=1 + the native k-way merge (the
     production pod-scale story, assemble_sr._count_native_sharded).
     Same workload as :func:`bench_kmer_rate_native`; on this one host
-    the shards run serially, so the per-host rate at pod scale is
-    ~n_shards x this number plus the (measured, included) merge cost."""
+    the shards run SERIALLY, so this is a lower-bound proxy — at pod
+    scale the shards count in parallel (one per host) and each host
+    merges only its prefix range.  The merge itself measures ~0.2 s for
+    9.3M rows (8x the numpy path it replaced); the serial min_count=1
+    counting dominates this proxy."""
     import os
 
     from haslr_tpu.kernels.kmer import merge_kmer_counts

@@ -357,6 +357,15 @@ def merge_kmer_counts(parts, min_count: int = 1, prefix_bits: int = 6):
     if not parts:
         return z, z, np.zeros(0, np.int64)
 
+    if len(parts) > 1:
+        # native single-pass k-way merge (each shard is already sorted;
+        # the numpy path below re-sorts the concatenation)
+        from haslr_tpu import native
+
+        out = native.merge_kmer_native(parts, min_count)
+        if out is not None:
+            return out
+
     def _merge_range(chunks):
         hi = np.concatenate([c[0] for c in chunks])
         lo = np.concatenate([c[1] for c in chunks])

@@ -100,6 +100,12 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
         ctypes.c_uint64, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
     ]
+    lib.hx_kmer_merge.restype = ctypes.c_void_p
+    lib.hx_kmer_merge.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64, ctypes.c_uint32,
+    ]
     lib.hx_kmer_n.restype = ctypes.c_uint64
     lib.hx_kmer_n.argtypes = [ctypes.c_void_p]
     for fn in ("hx_kmer_hi", "hx_kmer_lo"):
@@ -328,6 +334,49 @@ def runs_cigars_native(runs, n_runs, reads, drafts, r_lens, d_lens):
         ]
     finally:
         lib.hx_mapcig_free(h)
+
+
+def merge_kmer_native(parts, min_count):
+    """K-way merge of per-shard sorted (hi, lo, count) streams (the
+    multi-host SR counting merge); returns (hi, lo, counts) or None when
+    the library is unavailable.  Semantics of
+    ``kernels.kmer.merge_kmer_counts``: counts sum, filter after."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    hi = np.ascontiguousarray(
+        np.concatenate([p[0] for p in parts]), dtype=np.uint64
+    )
+    lo = np.ascontiguousarray(
+        np.concatenate([p[1] for p in parts]), dtype=np.uint64
+    )
+    cnt = np.ascontiguousarray(
+        np.concatenate([p[2] for p in parts]), dtype=np.int64
+    )
+    off = np.zeros(len(parts) + 1, np.uint64)
+    np.cumsum([len(p[0]) for p in parts], out=off[1:])
+    h = lib.hx_kmer_merge(
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(parts), min_count,
+    )
+    if not h:
+        return None
+    try:
+        n = lib.hx_kmer_n(h)
+        if n == 0:
+            z = np.zeros(0, np.uint64)
+            return z, z, np.zeros(0, np.int64)
+        out_hi = np.ctypeslib.as_array(lib.hx_kmer_hi(h), shape=(n,)).copy()
+        out_lo = np.ctypeslib.as_array(lib.hx_kmer_lo(h), shape=(n,)).copy()
+        out_c = np.ctypeslib.as_array(
+            lib.hx_kmer_cnt(h), shape=(n,)
+        ).astype(np.int64)
+        return out_hi, out_lo, out_c
+    finally:
+        lib.hx_kmer_free(h)
 
 
 def idx_lookup_native(hashes_sorted, bstart, queries):

@@ -192,6 +192,51 @@ void* hx_kmer_count(const uint8_t* codes, const uint64_t* offsets,
     return res;
 }
 
+// K-way merge of per-shard sorted (hi, lo, count) streams — the
+// multi-host SR counting merge (kernels/kmer.py::merge_kmer_counts
+// semantics: counts of equal canonical k-mers sum, the abundance filter
+// applies AFTER summation).  Shards arrive concatenated with
+// ``part_off`` (n_parts + 1) row offsets; each shard is sorted by
+// (hi, lo), so a cursor-per-shard min scan emits the globally sorted
+// distinct stream in one pass — no re-sort of the concatenation (the
+// numpy lexsort this replaces was most of the merge's cost).
+void* hx_kmer_merge(const uint64_t* hi, const uint64_t* lo,
+                    const int64_t* cnt, const uint64_t* part_off,
+                    uint64_t n_parts, uint32_t min_count) {
+    auto* res = new CountResult();
+    std::vector<uint64_t> cur(n_parts);
+    for (uint64_t p = 0; p < n_parts; p++) cur[p] = part_off[p];
+    for (;;) {
+        bool have = false;
+        uint64_t bh = 0, bl = 0;
+        for (uint64_t p = 0; p < n_parts; p++) {
+            if (cur[p] >= part_off[p + 1]) continue;
+            uint64_t h = hi[cur[p]], l = lo[cur[p]];
+            if (!have || h < bh || (h == bh && l < bl)) {
+                bh = h;
+                bl = l;
+                have = true;
+            }
+        }
+        if (!have) break;
+        int64_t total = 0;
+        for (uint64_t p = 0; p < n_parts; p++) {
+            uint64_t c = cur[p];
+            if (c < part_off[p + 1] && hi[c] == bh && lo[c] == bl) {
+                total += cnt[c];
+                cur[p] = c + 1;
+            }
+        }
+        if (total >= (int64_t)min_count) {
+            res->hi.push_back(bh);
+            res->lo.push_back(bl);
+            res->cnt.push_back((uint32_t)std::min<int64_t>(
+                total, 0xFFFFFFFFll));
+        }
+    }
+    return res;
+}
+
 uint64_t hx_kmer_n(void* h) {
     return ((CountResult*)h)->hi.size();
 }
